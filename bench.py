@@ -1,0 +1,125 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is total wall-clock over the headline set; per-query seconds
+in ``queries``. A frontier-throughput probe (fetch-decision pipeline
+over a synthetic pages table derived at bench scale) reports
+``urls_per_sec`` too — the north-rule metric.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+from pixcrawler_spark.queries import REGISTRY
+from pixcrawler_spark.session import get_spark
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_top_customers",
+    "q04_regional_revenue",
+    "q07_priority_queue_rank",
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "text_stats",
+    "crawl_fetch_decision",
+    "crawl_politeness_admission",
+    "crawl_seen_anti_join",
+]
+
+
+def _time_query(spark, name: str, sf_dir: str) -> float:
+    t0 = time.monotonic()
+    df = REGISTRY[name].fn(spark, sf_dir)
+    # foreach-noop action: full evaluation without driver collect
+    df.write.format("noop").mode("overwrite").save()
+    return time.monotonic() - t0
+
+
+def frontier_throughput(spark, sf_dir: str) -> tuple[float, float]:
+    """Fetch-decision throughput probe: one micro-round's operator chain
+    (seen anti-join → politeness rank → decision CASE) over a frontier
+    derived from lineitem (the largest table at this sf). Returns
+    (urls, seconds)."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    frontier = li.select(
+        F.concat(
+            F.lit("https://d"),
+            (F.col("l_suppkey") % 1000).cast("string"),
+            F.lit(".example/p/"),
+            F.col("l_orderkey"),
+            F.lit("-"),
+            F.col("l_linenumber"),
+        ).alias("url"),
+        (F.col("l_suppkey") % 1000).cast("string").alias("domain"),
+        (F.col("l_orderkey") % 550).alias("status"),
+        F.col("l_extendedprice").alias("score"),
+    )
+    n = frontier.count()
+    seen = frontier.where(F.col("status") % 3 == 0).select("url")
+    t0 = time.monotonic()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("domain").orderBy(F.desc("score"), F.asc("url"))
+    decision = (
+        F.when(F.col("status").isin(429, 503, 504), "fetch_failed_transient")
+        .when(F.col("status").isin(400, 401, 403, 404), "fetch_failed_permanent")
+        .when(F.col("status") < 400, "fetched")
+        .otherwise("fetch_failed_permanent")
+    )
+    out = (
+        frontier.join(seen, "url", "left_anti")
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("admitted", F.col("rk") <= 100)
+        .withColumn("fetch_decision", decision)
+        .groupBy("fetch_decision", "admitted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out.write.format("noop").mode("overwrite").save()
+    return float(n), time.monotonic() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(app_name="pixcrawler_bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name] = round(_time_query(spark, name, sf_dir), 3)
+
+    urls, secs = frontier_throughput(spark, sf_dir)
+    timings["frontier_round"] = round(secs, 3)
+    urls_per_sec = urls / secs if secs > 0 else 0.0
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "frontier_urls_per_sec": round(urls_per_sec, 1),
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,48 @@
+"""Registry of named queries with optional DuckDB oracle SQL.
+
+Contract (from the driver): the Spark callable and the oracle SQL must
+produce identical row counts, schemas (column names), and
+order-insensitive value hashes at sf=0.01. Rules we follow to make the
+comparison robust across engines:
+
+- every computed column is explicitly aliased, identically in both;
+- integer aggregates are cast to BIGINT in the oracle (DuckDB SUM of
+  integers yields HUGEINT otherwise);
+- floating aggregates are ``round(x, 4)`` on both sides so partial-sum
+  ordering differences (32-way parallel vs single-threaded) cannot
+  flip the value hash;
+- timestamps: Spark session TZ is pinned to UTC (session.py) to match
+  DuckDB's naive-UTC timestamps.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None = None, doc: str = ""):
+    """Decorator registering a query under ``name``."""
+
+    def wrap(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return wrap

@@ -1,0 +1,58 @@
+"""SparkSession factory with the engine's standard configuration.
+
+Tuned for correctness-vs-DuckDB comparison (UTC timestamps, ANSI off)
+and for scale (AQE + skew-join on, Arrow on). ``shuffle_partitions``
+defaults to the local core count; on a real cluster set it to
+~2-3x total executor cores.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "pixcrawler_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    Defaults honour the sandbox env vars used by the bench driver:
+    ``SPARK_GRAFT_CPUS`` (core count for local master).
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # local[N] → N shuffle partitions: one reducer per core, no
+        # 200-partition default overhead on small data. On a cluster
+        # this should be ~2-3x total cores (or leave to AQE coalesce).
+        n = master[len("local[") : -1] if master.startswith("local[") else str(cpus)
+        shuffle_partitions = cpus if n == "*" else int(n)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # broadcast joins for dim tables up to 64 MB (robots, engine
+        # configs, tier limits are all tiny)
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # 128 MB input splits — the parquet-scan default, stated
+        # explicitly because frontier scans at 100 TB depend on it
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.ansi.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
