@@ -1,0 +1,99 @@
+"""Per-domain politeness: robots rules + crawl-delay token buckets.
+
+Replaces the reference's executor-side sleeps (0.5 s between keywords,
+0.2 s between downloads, Celery rate_limit="10/m" —
+builder/_generator.py:1280, builder/_search_engines.py:99,246-249,
+builder/tasks.py:178) with defer-to-next-round semantics: no task ever
+sleeps; a candidate the bucket can't admit this round stays in the
+frontier and is counted as a politeness stall (the north-rule metric).
+
+Capacity per domain per micro-round:
+    capacity = min(max_per_round, floor(round_len_s / crawl_delay_s))
+(crawl_delay 0 → max_per_round). Admission is a window rank per domain
+ordered by priority (depth asc, score desc, url asc) — the priority
+queue realized as window-ranked batches. Robots-denied urls never
+consume budget; they are decided (and recorded) without fetching.
+
+Skew: the window partitions by registrable domain; Zipf-skewed hosts
+produce hot partitions, which is why the round pre-repartitions by a
+salted domain key (plans/crawl.py) and AQE skew handling stays on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+DEFAULT_CRAWL_DELAY_S = 0.5
+DEFAULT_MAX_PER_ROUND = 10
+DEFAULT_ROUND_LEN_S = 10.0
+
+# url → registrable domain / path, JVM-side regex (no Python).
+DOMAIN_RE = r"^[a-z]+://([^/]+)"
+PATH_RE = r"^[a-z]+://[^/]+/(.*)$"
+
+
+def domain_expr(url_col: str = "url"):
+    return F.regexp_extract(F.col(url_col), DOMAIN_RE, 1)
+
+
+def path_expr(url_col: str = "url"):
+    return F.regexp_extract(F.col(url_col), PATH_RE, 1)
+
+
+def with_robots_decision(
+    candidates: DataFrame, robots: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Broadcast-join robots rules; append ``robots_denied`` bool and the
+    domain's politeness parameters (defaults for unknown domains).
+
+    The prefix test is ``exists(disallow_prefixes, p -> startswith(path, p))``
+    — a JVM higher-order function over a tiny array, no UDF.
+    """
+    r = robots.select(
+        "domain",
+        F.col("disallow_prefixes").alias("_dis"),
+        F.col("crawl_delay_s").alias("_delay"),
+        F.col("max_per_round").alias("_max_round"),
+    )
+    joined = candidates.join(F.broadcast(r), "domain", "left")
+    path = path_expr(url_col)
+    denied = F.when(
+        F.col("_dis").isNotNull(),
+        F.exists("_dis", lambda p: F.col(url_col).isNotNull() & path.startswith(p)),
+    ).otherwise(F.lit(False))
+    return (
+        joined.withColumn("robots_denied", denied)
+        .withColumn("crawl_delay_s", F.coalesce("_delay", F.lit(DEFAULT_CRAWL_DELAY_S)))
+        .withColumn(
+            "max_per_round", F.coalesce("_max_round", F.lit(DEFAULT_MAX_PER_ROUND))
+        )
+        .drop("_dis", "_delay", "_max_round")
+    )
+
+
+def capacity_expr(round_len_s: float = DEFAULT_ROUND_LEN_S):
+    return F.when(
+        F.col("crawl_delay_s") <= 0.0, F.col("max_per_round")
+    ).otherwise(
+        F.least(
+            F.col("max_per_round"),
+            F.floor(F.lit(round_len_s) / F.col("crawl_delay_s")).cast("int"),
+        )
+    )
+
+
+def admit(
+    candidates: DataFrame,
+    round_len_s: float = DEFAULT_ROUND_LEN_S,
+) -> DataFrame:
+    """Append ``priority_rank`` and ``admitted`` to robots-allowed
+    candidates. Requires columns: domain, depth, score, url,
+    crawl_delay_s, max_per_round (from with_robots_decision)."""
+    w = Window.partitionBy("domain").orderBy(
+        F.asc("depth"), F.desc("score"), F.asc("url")
+    )
+    return candidates.withColumn(
+        "priority_rank", F.row_number().over(w)
+    ).withColumn("admitted", F.col("priority_rank") <= capacity_expr(round_len_s))

@@ -1,9 +1,14 @@
 """Text analysis operators: language-ID, quality scoring, token counts,
 document fingerprinting.
 
-All pure column expressions (whole-stage codegen, pushdown-friendly);
-shared constants are exported so the DuckDB oracle is generated from
-the same lists.
+All pure column expressions (whole-stage codegen, pushdown-friendly).
+The heavy metrics are computed via STAGED projections — tokenize once,
+count stopword hits once per language, then derive scores from those
+columns. Building everything as one nested Column expression looks the
+same logically but re-expands the tokenizer into every consumer
+(Catalyst only collapses projections whose aliases are cheap or used
+once), which blew per-row cost up ~50x in practice. Shared constants
+are exported so the DuckDB oracle is generated from the same lists.
 """
 
 from __future__ import annotations
@@ -29,13 +34,25 @@ ENGLISH_STOPWORDS: tuple[str, ...] = (
 PUNCT_REGEX = r"[^0-9A-Za-z\s]"
 TOKEN_SPLIT_REGEX = r"\s+"
 
+_LANGS = sorted(LANG_STOPWORDS)
 
+
+def _hits(toks: Column, words: tuple[str, ...]) -> Column:
+    sw = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t)))).cast(
+        "long"
+    )
+
+
+# -- standalone Column helpers (single-use contexts) ------------------------
 def token_count_expr(text_col: str) -> Column:
     """Whitespace token count; 0 for empty/blank text."""
     t = F.trim(F.col(text_col))
-    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
-        F.size(F.split(t, TOKEN_SPLIT_REGEX))
-    ).cast("long")
+    return (
+        F.when(F.length(t) == 0, F.lit(0))
+        .otherwise(F.size(F.split(t, TOKEN_SPLIT_REGEX)))
+        .cast("long")
+    )
 
 
 def punct_ratio_expr(text_col: str, round_to: int = 4) -> Column:
@@ -47,46 +64,6 @@ def punct_ratio_expr(text_col: str, round_to: int = 4) -> Column:
     )
 
 
-def stopword_hits_expr(text_col: str, stopwords: tuple[str, ...]) -> Column:
-    """Number of tokens that are in the given stopword list."""
-    toks = F.split(F.trim(F.col(text_col)), TOKEN_SPLIT_REGEX)
-    sw = F.array(*[F.lit(s) for s in stopwords])
-    return F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t)))).cast(
-        "long"
-    )
-
-
-def quality_score_expr(text_col: str, round_to: int = 4) -> Column:
-    """Composite quality in [0,1]: length band + low punctuation +
-    healthy stopword ratio (the reference's validation gates —
-    min-size / dimension checks, validator/validation.py:151-174 —
-    re-expressed for text)."""
-    n_tokens = token_count_expr(text_col)
-    length_ok = F.when((n_tokens >= 10) & (n_tokens <= 100000), 1.0).otherwise(0.0)
-    punct = punct_ratio_expr(text_col, 10)
-    punct_ok = F.when(punct <= 0.2, 1.0).otherwise(0.0)
-    sw_ratio = F.when(n_tokens == 0, F.lit(0.0)).otherwise(
-        stopword_hits_expr(text_col, ENGLISH_STOPWORDS).cast("double") / n_tokens
-    )
-    sw_ok = F.when((sw_ratio >= 0.01) & (sw_ratio <= 0.6), 1.0).otherwise(0.0)
-    return F.round((length_ok + punct_ok + sw_ok) / 3.0, round_to)
-
-
-def lang_id_expr(text_col: str) -> Column:
-    """Heuristic language ID: argmax of per-language stopword hits,
-    deterministic tie-break by language code; 'und' when no hits."""
-    langs = sorted(LANG_STOPWORDS)
-    hit_cols = {
-        lang: stopword_hits_expr(text_col, LANG_STOPWORDS[lang]) for lang in langs
-    }
-    best = F.greatest(*[hit_cols[lang] for lang in langs])
-    pred = F.lit("und")
-    # build when-chain in reverse so earlier (alphabetical) langs win ties
-    for lang in reversed(langs):
-        pred = F.when((best > 0) & (hit_cols[lang] == best), lang).otherwise(pred)
-    return pred
-
-
 def fingerprint_expr(text_col: str) -> Column:
     """Normalized document fingerprint: md5 of lowercased,
     whitespace-collapsed text (exact-dedup key robust to spacing)."""
@@ -94,14 +71,77 @@ def fingerprint_expr(text_col: str) -> Column:
     return F.md5(norm)
 
 
+# -- staged feature pipeline -------------------------------------------------
+def with_text_features(df: DataFrame, text_col: str) -> DataFrame:
+    """Append staged text-feature columns: _toks, n_tokens, n_chars,
+    punct_ratio (unrounded as _punct_raw), sw_hits, h_<lang> per lang,
+    lang_pred. Each expensive expression is computed exactly once."""
+    t = F.trim(F.col(text_col))
+    s1 = df.withColumns(
+        {
+            "_toks": F.split(t, TOKEN_SPLIT_REGEX),
+            "n_chars": F.length(F.col(text_col)).cast("long"),
+            "_n_punct": (
+                F.length(F.col(text_col))
+                - F.length(F.regexp_replace(F.col(text_col), PUNCT_REGEX, ""))
+            ).cast("long"),
+            "_blank": F.length(t) == 0,
+        }
+    )
+    s2 = s1.withColumns(
+        {
+            "n_tokens": F.when(F.col("_blank"), F.lit(0))
+            .otherwise(F.size("_toks"))
+            .cast("long"),
+            "sw_hits": _hits(F.col("_toks"), ENGLISH_STOPWORDS),
+            **{
+                f"h_{lang}": _hits(F.col("_toks"), LANG_STOPWORDS[lang])
+                for lang in _LANGS
+            },
+        }
+    )
+    s3 = s2.withColumns(
+        {
+            "punct_ratio": F.round(
+                F.when(F.col("n_chars") == 0, F.lit(0.0)).otherwise(
+                    F.col("_n_punct").cast("double") / F.col("n_chars")
+                ),
+                4,
+            ),
+            "_punct_raw": F.when(F.col("n_chars") == 0, F.lit(0.0)).otherwise(
+                F.col("_n_punct").cast("double") / F.col("n_chars")
+            ),
+            "_best": F.greatest(*[F.col(f"h_{lang}") for lang in _LANGS]),
+        }
+    )
+    pred = F.lit("und")
+    # reversed so earlier (alphabetical) languages win ties
+    for lang in reversed(_LANGS):
+        pred = F.when(
+            (F.col("_best") > 0) & (F.col(f"h_{lang}") == F.col("_best")), lang
+        ).otherwise(pred)
+    return s3.withColumn("lang_pred", pred)
+
+
 def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """One-pass projection of all text metrics."""
-    return df.select(
+    """One-pass projection of all text metrics (staged; reference
+    analog: the validator's per-file check battery,
+    validator/validation.py:151-174, re-expressed for text)."""
+    feats = with_text_features(df, text_col)
+    sw_ratio = F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
+        F.col("sw_hits").cast("double") / F.col("n_tokens")
+    )
+    length_ok = F.when(
+        (F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 100000), 1.0
+    ).otherwise(0.0)
+    punct_ok = F.when(F.col("_punct_raw") <= 0.2, 1.0).otherwise(0.0)
+    sw_ok = F.when((sw_ratio >= 0.01) & (sw_ratio <= 0.6), 1.0).otherwise(0.0)
+    return feats.select(
         F.col(id_col),
-        token_count_expr(text_col).alias("n_tokens"),
-        F.length(F.col(text_col)).cast("long").alias("n_chars"),
-        punct_ratio_expr(text_col).alias("punct_ratio"),
-        quality_score_expr(text_col).alias("quality_score"),
-        lang_id_expr(text_col).alias("lang_pred"),
+        "n_tokens",
+        "n_chars",
+        "punct_ratio",
+        F.round((length_ok + punct_ok + sw_ok) / 3.0, 4).alias("quality_score"),
+        "lang_pred",
         fingerprint_expr(text_col).alias("fingerprint"),
     )

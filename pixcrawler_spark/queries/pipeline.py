@@ -329,13 +329,9 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    from pixcrawler_spark.operators.textstats import lang_id_expr
-
+    feats = textstats.with_text_features(d, "text")
     return (
-        d.select(
-            F.col("lang").alias("lang_true"),
-            lang_id_expr("text").alias("lang_pred"),
-        )
+        feats.select(F.col("lang").alias("lang_true"), "lang_pred")
         .groupBy("lang_true", "lang_pred")
         .agg(F.count(F.lit(1)).alias("n"))
     )

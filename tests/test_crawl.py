@@ -1,0 +1,189 @@
+"""Crawl-engine correctness vs the pandas oracle: fetch decisions,
+crawl ordering, final URL-seen set, byte-identical extracted text,
+resume-from-checkpoint equivalence, bloom/salted-path equivalence."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pixcrawler_spark.fixtures import FixtureSpec, generate_pages, seed_urls, write_fixtures
+from pixcrawler_spark.plans.crawl import CrawlConfig, CrawlEngine
+from pixcrawler_spark.sources.tables import TableStore
+from tests.oracle import CrawlOracle
+
+ROWS = 2000
+SEED = 42
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("crawlfix")
+    write_fixtures(str(d), rows=ROWS, seed=SEED)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def seeds(fixture_dir):
+    return seed_urls(generate_pages(FixtureSpec(rows=ROWS, seed=SEED)), k=6)
+
+
+def _mk_engine(spark, fixture_dir, tmp_path, seeds, **overrides) -> CrawlEngine:
+    kwargs = dict(seeds=seeds, max_depth=2, max_rounds=3, round_len_s=2.0)
+    kwargs.update(overrides)
+    cfg = CrawlConfig(**kwargs)
+    store = TableStore(spark, str(tmp_path / "store"))
+    return CrawlEngine(
+        spark, f"{fixture_dir}/pages.parquet", f"{fixture_dir}/robots.parquet",
+        store, cfg,
+    )
+
+
+def _mk_oracle(fixture_dir, seeds) -> CrawlOracle:
+    o = CrawlOracle(
+        pages_path=f"{fixture_dir}/pages.parquet",
+        robots_path=f"{fixture_dir}/robots.parquet",
+        seeds=seeds, max_depth=2, max_rounds=3, round_len_s=2.0,
+    )
+    o.run()
+    return o
+
+
+@pytest.fixture(scope="module")
+def oracle(fixture_dir, seeds):
+    return _mk_oracle(fixture_dir, seeds)
+
+
+@pytest.fixture(scope="module")
+def engine_run(spark, fixture_dir, tmp_path_factory, seeds):
+    eng = _mk_engine(
+        spark, fixture_dir, tmp_path_factory.mktemp("store_base"), seeds
+    )
+    summaries = eng.run()
+    return eng, summaries
+
+
+def _seen_set(eng: CrawlEngine) -> set[tuple]:
+    return {
+        (r["url"], r["completed_round"])
+        for r in eng.store.read("seen").collect()
+    }
+
+
+def _decisions(eng: CrawlEngine) -> dict[str, tuple]:
+    return {
+        r["url"]: (r["fetch_decision"], r["depth"], r["round"])
+        for r in eng.store.read("results").collect()
+    }
+
+
+def test_seen_set_matches_oracle(engine_run, oracle):
+    eng, _ = engine_run
+    assert _seen_set(eng) == {(u, r) for u, r in oracle.seen.items()}
+
+
+def test_decisions_match_oracle(engine_run, oracle):
+    eng, _ = engine_run
+    got = _decisions(eng)
+    want = {
+        res.url: (res.fetch_decision, res.depth, res.round)
+        for res in oracle.results
+    }
+    assert got == want
+
+
+def test_crawl_ordering_matches_oracle(engine_run, oracle):
+    eng, _ = engine_run
+    got = {
+        (r["round"], r["domain"], r["rank_in_round"], r["url"])
+        for r in eng.crawl_order().collect()
+    }
+    assert got == oracle.ordering()
+
+
+def test_extracted_text_byte_identical(engine_run, spark, fixture_dir):
+    """input_hint invariant: extracted text == pages.text per url."""
+    eng, _ = engine_run
+    res = eng.store.read("results").where(F.col("fetch_decision") == "fetched")
+    pages = spark.read.parquet(f"{fixture_dir}/pages.parquet").select(
+        "url", F.col("text").alias("expected_text")
+    )
+    diff = (
+        res.join(pages, "url")
+        .where(~F.col("text").eqNullSafe(F.col("expected_text")))
+        .count()
+    )
+    assert diff == 0
+    assert res.count() > 0
+
+
+def test_politeness_never_exceeds_capacity(engine_run, spark, fixture_dir):
+    eng, _ = engine_run
+    res = eng.store.read("results").where(F.col("fetch_decision") != "robots_denied")
+    robots = spark.read.parquet(f"{fixture_dir}/robots.parquet")
+    per_round = res.groupBy("round", "domain").agg(F.count(F.lit(1)).alias("n"))
+    joined = per_round.join(robots, "domain", "left").withColumn(
+        "cap",
+        F.least(
+            F.coalesce("max_per_round", F.lit(10)),
+            F.floor(2.0 / F.coalesce("crawl_delay_s", F.lit(0.5))).cast("int"),
+        ),
+    )
+    # crawl_delay 0 domains: cap = max_per_round
+    joined = joined.withColumn(
+        "cap",
+        F.when(F.coalesce("crawl_delay_s", F.lit(0.5)) <= 0.0,
+               F.coalesce("max_per_round", F.lit(10))).otherwise(F.col("cap")),
+    )
+    assert joined.where(F.col("n") > F.col("cap")).count() == 0
+
+
+def test_metrics_recorded(engine_run):
+    eng, summaries = engine_run
+    m = eng.store.read("metrics")
+    assert m.count() >= len(summaries)
+    assert m.where(F.col("urls_per_sec") < 0).count() == 0
+    total_processed = sum(s["n_processed"] for s in summaries)
+    assert total_processed == eng.store.read("results").count()
+
+
+def test_resume_equivalence(spark, fixture_dir, tmp_path_factory, seeds, engine_run):
+    """Run 2 rounds, stop, resume for round 3 → identical state to the
+    uninterrupted 3-round run (FIXTURES.md §4)."""
+    store_dir = tmp_path_factory.mktemp("store_resume")
+    eng2 = _mk_engine(spark, fixture_dir, store_dir, seeds, max_rounds=2)
+    eng2.run()
+    eng3 = _mk_engine(spark, fixture_dir, store_dir, seeds, max_rounds=3)
+    eng3.run(resume=True)
+    base, _ = engine_run
+    assert _seen_set(eng3) == _seen_set(base)
+    assert _decisions(eng3) == _decisions(base)
+
+
+def test_bloom_path_equivalent(spark, fixture_dir, tmp_path_factory, seeds, engine_run):
+    eng_b = _mk_engine(
+        spark, fixture_dir, tmp_path_factory.mktemp("store_bloom"), seeds,
+        use_bloom=True,
+    )
+    eng_b.run()
+    base, _ = engine_run
+    assert _seen_set(eng_b) == _seen_set(base)
+    assert _decisions(eng_b) == _decisions(base)
+
+
+def test_salted_admission_equivalent(spark, fixture_dir, tmp_path_factory, seeds, engine_run):
+    eng_s = _mk_engine(
+        spark, fixture_dir, tmp_path_factory.mktemp("store_salt"), seeds,
+        salt_buckets=8,
+    )
+    eng_s.run()
+    base, _ = engine_run
+    assert _seen_set(eng_s) == _seen_set(base)
+    assert _decisions(eng_s) == _decisions(base)
+
+
+def test_config_validation():
+    with pytest.raises(ValueError):
+        CrawlConfig(seeds=[]).validate()
+    with pytest.raises(ValueError):
+        CrawlConfig(seeds=["x"], engines=("nope",)).validate()
