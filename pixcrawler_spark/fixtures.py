@@ -173,6 +173,9 @@ def write_fixtures(out_dir: str, rows: int, seed: int = 42) -> dict[str, str]:
         "pages": os.path.join(out_dir, "pages.parquet"),
         "robots": os.path.join(out_dir, "robots.parquet"),
     }
-    pq.write_table(pages, paths["pages"])
+    # small row groups: Spark parallelizes a parquet scan at row-group
+    # granularity — the pyarrow default (~1M rows/group) would make a
+    # 1M-page fixture a single-task scan and serialize every round
+    pq.write_table(pages, paths["pages"], row_group_size=65536)
     pq.write_table(robots, paths["robots"])
     return paths

@@ -37,8 +37,11 @@ SCALE NOTES (10^10-URL frontier):
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
+
+_TRACE = os.environ.get("PIXCRAWLER_TRACE", "") == "1"
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
@@ -95,8 +98,8 @@ class CrawlEngine:
     def __init__(
         self,
         spark: SparkSession,
-        pages_path: str,
-        robots_path: str,
+        pages_path: str | DataFrame,
+        robots_path: str | DataFrame,
         store: TableStore,
         config: CrawlConfig,
     ):
@@ -104,18 +107,26 @@ class CrawlEngine:
         self.spark = spark
         self.config = config
         self.store = store
-        self.pages = spark.read.parquet(pages_path)
-        self.robots = spark.read.parquet(robots_path)
+        self.pages = (
+            pages_path
+            if isinstance(pages_path, DataFrame)
+            else spark.read.parquet(pages_path)
+        )
+        self.robots = (
+            robots_path
+            if isinstance(robots_path, DataFrame)
+            else spark.read.parquet(robots_path)
+        )
 
     # -- state ---------------------------------------------------------------
-    def _seed_frontier(self) -> DataFrame:
+    def frontier_from(self, urls_df: DataFrame) -> DataFrame:
+        """Build a depth-0 frontier from any DataFrame with a url column
+        (used by run() for config seeds and by the bench harness to seed
+        the whole corpus without a driver-side list)."""
         cfg = self.config
-        seeds_df = self.spark.createDataFrame(
-            [(u,) for u in cfg.seeds], "url string"
-        )
         depth = F.lit(0)
         engine = _engine_expr(depth, cfg.engines)
-        return seeds_df.select(
+        return urls_df.select(
             "url",
             pol.domain_expr("url").alias("domain"),
             depth.cast("int").alias("depth"),
@@ -125,6 +136,11 @@ class CrawlEngine:
             F.lit(0).cast("int").alias("discovered_round"),
         )
 
+    def _seed_frontier(self) -> DataFrame:
+        return self.frontier_from(
+            self.spark.createDataFrame([(u,) for u in self.config.seeds], "url string")
+        )
+
     def current_round(self) -> int:
         if not self.store.exists("metrics"):
             return 0
@@ -132,9 +148,12 @@ class CrawlEngine:
         return int(row["r"] or 0)
 
     # -- one micro-round ------------------------------------------------------
-    def run_round(self, round_no: int) -> dict:
+    def plan_round(self, round_no: int) -> dict:
+        """Build (lazily) the round's DataFrames without committing:
+        {'results': all decided rows, 'stalled': deferred frontier rows,
+        'frontier': the input frontier}. Used by run_round (which
+        commits) and by the compute-only bench path."""
         cfg = self.config
-        t0 = time.monotonic()
         frontier = self.store.read("frontier", FRONTIER_SCHEMA)
         seen = self.store.read("seen", SEEN_SCHEMA)
 
@@ -143,7 +162,6 @@ class CrawlEngine:
         wdup = Window.partitionBy("url").orderBy(
             F.asc("depth"), F.desc("score"), F.asc("engine"), F.asc("discovered_round")
         )
-        n_frontier = frontier.count()
         candidates = (
             frontier.withColumn("_rn", F.row_number().over(wdup))
             .where(F.col("_rn") == 1)
@@ -153,7 +171,11 @@ class CrawlEngine:
         # 2. seen-set anti-join (bloom-accelerated when configured)
         unseen = anti_join_seen(candidates, seen, use_bloom=cfg.use_bloom)
 
-        # 3. robots + politeness params (broadcast join)
+        # 3. robots + politeness params (broadcast join). NOTE: branches
+        # below (denied / admitted / stalled) re-derive from this plan;
+        # measured at 100k rows, recomputation beats persist() by ~2x
+        # (MEMORY_AND_DISK serialization costs more than the narrow
+        # recompute), so no caching here.
         ruled = pol.with_robots_decision(unseen, self.robots)
 
         denied = ruled.where(F.col("robots_denied"))
@@ -230,7 +252,32 @@ class CrawlEngine:
             F.spark_partition_id().alias("partition_id"),
         )
         all_results = results.unionByName(denied_results)
-        self.store.append("results", all_results)
+        return {
+            "results": all_results,
+            "stalled": stalled,
+            "frontier": frontier,
+        }
+
+    def run_round(self, round_no: int) -> dict:
+        cfg = self.config
+        t0 = time.monotonic()
+        _last = [t0]
+
+        def _trace(label: str) -> None:
+            if _TRACE:
+                now = time.monotonic()
+                print(
+                    f"  [round {round_no}] {label}: +{now - _last[0]:.2f}s",
+                    flush=True,
+                )
+                _last[0] = now
+
+        plan = self.plan_round(round_no)
+        n_frontier = plan["frontier"].count()
+        _trace("frontier count")
+        stalled = plan["stalled"]
+        self.store.append("results", plan["results"])
+        _trace("results append (main pipeline)")
 
         # read back the committed snapshot — cuts lineage, one scan reused
         # by metrics + expansion below
@@ -243,6 +290,7 @@ class CrawlEngine:
                 "url", F.lit(round_no).cast("int").alias("completed_round")
             ),
         )
+        _trace("seen append")
 
         # 8. next frontier = stalled ∪ discovered outlinks
         next_depth = F.col("depth") + 1
@@ -270,6 +318,7 @@ class CrawlEngine:
         self.store.overwrite(
             "frontier", stalled_frontier.unionByName(discovered_frontier)
         )
+        _trace("frontier overwrite")
 
         # 9. metrics (per-partition + per-round)
         wall = time.monotonic() - t0
@@ -286,10 +335,16 @@ class CrawlEngine:
             )
             .collect()
         )
+        _trace("metrics collect")
         n_processed = sum(r["n_processed"] for r in per_part)
         n_denied = sum(r["n_robots_denied"] for r in per_part)
         n_fetched_total = sum(r["n_fetched"] for r in per_part)
-        n_stalled = stalled_frontier.count()
+        n_stalled = (
+            self.store.read("frontier", FRONTIER_SCHEMA)
+            .where(F.col("discovered_round") < round_no)
+            .count()
+        )
+        _trace("stalled count (committed frontier)")
         n_unseen = n_processed + n_stalled
         metrics_rows = [
             (

@@ -43,6 +43,10 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # smaller AQE target partitions: wide binary rows (html ~1KB)
+        # coalesce to too few tasks at 64MB default, starving the
+        # Arrow/Python extraction stage of parallelism
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         # broadcast joins for dim tables up to 64 MB (robots, engine
         # configs, tier limits are all tiny)
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -1,0 +1,71 @@
+"""Label/report output projections over a real crawl run."""
+
+from __future__ import annotations
+
+import glob
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from pixcrawler_spark.fixtures import FixtureSpec, generate_pages, seed_urls, write_fixtures
+from pixcrawler_spark.outputs import (
+    category_index,
+    dataset_report,
+    label_rows,
+    sequential_names,
+    write_labels,
+)
+from pixcrawler_spark.plans.crawl import CrawlConfig, CrawlEngine
+from pixcrawler_spark.sources.tables import TableStore
+
+
+@pytest.fixture(scope="module")
+def results(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("outfix")
+    write_fixtures(str(d), rows=1500, seed=11)
+    seeds = seed_urls(generate_pages(FixtureSpec(rows=1500, seed=11)), k=5)
+    store = TableStore(spark, str(d / "store"))
+    eng = CrawlEngine(
+        spark, f"{d}/pages.parquet", f"{d}/robots.parquet", store,
+        CrawlConfig(seeds=seeds, max_depth=2, max_rounds=3),
+    )
+    eng.run()
+    return store.read("results")
+
+
+def test_sequential_names_contiguous(results):
+    named = sequential_names(results.where(F.col("fetch_decision") == "fetched"))
+    per = named.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("seq_name").alias("lo"),
+        F.max("seq_name").alias("hi"),
+    )
+    for r in per.collect():
+        assert r["lo"] == "0001"
+        assert r["hi"] == f"{r['n']:04d}"
+
+
+def test_category_index_dense(results):
+    idx = category_index(results).collect()
+    ids = sorted(r["category_id"] for r in idx)
+    assert ids == list(range(len(idx)))
+    by_name = sorted(idx, key=lambda r: r["category"])
+    assert [r["category_id"] for r in by_name] == list(range(len(idx)))
+
+
+def test_label_rows_and_write(results, tmp_path):
+    rows = label_rows(results)
+    assert rows.where(F.col("category_id").isNull()).count() == 0
+    paths = write_labels(results, str(tmp_path), formats=("json", "csv"))
+    jfiles = glob.glob(paths["json"] + "/*.json")
+    assert jfiles
+    rec = json.loads(open(jfiles[0]).readline())
+    assert {"category", "category_id", "url", "seq_name"} <= set(rec)
+
+
+def test_dataset_report(results):
+    rep = dataset_report(results).collect()[0]
+    assert rep["n_items"] == rep["n_urls"]  # urls unique across rounds
+    assert 0.0 <= rep["success_rate"] <= 1.0
+    assert rep["n_fetched"] > 0 and rep["n_rounds"] == 3
