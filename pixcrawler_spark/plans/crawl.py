@@ -69,6 +69,24 @@ class CrawlConfig:
     use_bloom: bool = False
     salt_buckets: int = 1
     seed: int = 42
+    # Retry ladder (reference: Retry.retry_download + ALTERNATING
+    # engine strategy, builder/_generator.py:237-341): a fetch_failed
+    # url with retry_count < max_retries is re-enqueued for the next
+    # round with retry_count+1 and engine rotated to
+    # engines[(depth + retry_count) % n], instead of being recorded;
+    # only the exhausted attempt lands in results/seen. 0 = no retries.
+    max_retries: int = 0
+    # Materialize extraction ONCE into a compact pages_ext table
+    # (url, warc_ts, text, outlinks) instead of re-running the Arrow
+    # UDF on raw html every round. Extraction is deterministic per
+    # page, so per-round extraction repeats work AND — measured — the
+    # fetch join then shuffles ~1 KB of html per row through local
+    # disk, which is the one resource cores don't scale (this
+    # sandbox's single virtio disk; spinning-rust-adjacent on real
+    # clusters too). With pages_ext the round loop is pure JVM: only
+    # ~300 B of text/outlinks move, and the Python stage runs exactly
+    # once per corpus. This is the standard WARC→columnar prep step.
+    precompute_extraction: bool = True
 
     def validate(self) -> None:
         if not self.seeds:
@@ -141,6 +159,24 @@ class CrawlEngine:
             self.spark.createDataFrame([(u,) for u in self.config.seeds], "url string")
         )
 
+    def extracted_pages(self) -> DataFrame:
+        """Pages with text/outlinks extracted (Arrow-batched UDF) and
+        html dropped: (url, warc_ts, text, outlinks, html_absent)."""
+        ext = map_in_pandas_extract(self.pages.select("url", "warc_ts", "html"))
+        return ext.select(
+            "url",
+            "warc_ts",
+            F.col("extracted_text").alias("text"),
+            "outlinks",
+            F.col("html").isNull().alias("html_absent"),
+        )
+
+    def ensure_pages_ext(self) -> DataFrame:
+        """Materialize the one-time extraction table (idempotent)."""
+        if not self.store.exists("pages_ext"):
+            self.store.overwrite("pages_ext", self.extracted_pages())
+        return self.store.read("pages_ext")
+
     def current_round(self) -> int:
         if not self.store.exists("metrics"):
             return 0
@@ -160,7 +196,11 @@ class CrawlEngine:
         # 1. per-url dedup of candidates (duplicate discoveries keep the
         #    best (depth, score, url) row — deterministic)
         wdup = Window.partitionBy("url").orderBy(
-            F.asc("depth"), F.desc("score"), F.asc("engine"), F.asc("discovered_round")
+            F.asc("depth"),
+            F.desc("score"),
+            F.asc("engine"),
+            F.asc("discovered_round"),
+            F.desc("retry_count"),  # prefer the further-along retry row
         )
         candidates = (
             frontier.withColumn("_rn", F.row_number().over(wdup))
@@ -207,34 +247,53 @@ class CrawlEngine:
             admitted = ranked.where(F.col("admitted"))
             stalled = ranked.where(~F.col("admitted"))
 
-        # 5. fetch = join pages on url; decision CASE
-        pages = self.pages.select(
+        # 5. fetch = join extracted pages on url; decision CASE. The
+        # results table is a pure DECISION LOG: text/outlinks stay
+        # normalized in pages_ext (joined on demand via
+        # results_with_text), so the fetch join moves only ~60 B/row —
+        # Catalyst prunes text/outlinks out of the scan entirely.
+        pext = (
+            self.ensure_pages_ext()
+            if cfg.precompute_extraction
+            else self.extracted_pages()
+        )
+        pages = pext.select(
             "url",
-            F.col("warc_ts"),
-            F.col("html"),
+            "warc_ts",
+            "html_absent",
             F.lit(True).alias("_page_exists"),
         )
         fetched_join = admitted.join(pages, "url", "left")
         decision = (
             F.when(F.col("_page_exists").isNull(), "not_found")
-            .when(F.col("html").isNull(), "fetch_failed")
+            .when(F.col("html_absent"), "fetch_failed")
             .otherwise("fetched")
         )
         decided = fetched_join.withColumn("fetch_decision", decision)
 
-        # 6. extraction (Arrow-batched; single Python stage per partition)
-        extracted = map_in_pandas_extract(
-            decided.select(
-                "url", "domain", "depth", "score", "warc_ts", "html", "fetch_decision"
-            )
+        # retry ladder: transient failures below budget re-enqueue
+        # instead of being recorded (CrawlConfig.max_retries)
+        retryable_pred = (F.col("fetch_decision") == "fetch_failed") & (
+            F.col("retry_count") < F.lit(cfg.max_retries)
+        )
+        retryable = decided.where(retryable_pred)
+        decided = decided.where(~retryable_pred)
+        next_retry = F.col("retry_count") + 1
+        retry_engine = _engine_expr(F.col("depth") + next_retry, cfg.engines)
+        retry_frontier = retryable.select(
+            "url",
+            "domain",
+            "depth",
+            retry_engine.alias("engine"),
+            _score_expr(retry_engine).alias("score"),
+            next_retry.cast("int").alias("retry_count"),
+            F.lit(round_no).cast("int").alias("discovered_round"),
         )
 
-        results = extracted.select(
+        results = decided.select(
             "url",
             "domain",
             "warc_ts",
-            F.col("extracted_text").alias("text"),
-            "outlinks",
             "fetch_decision",
             "depth",
             F.lit(round_no).cast("int").alias("round"),
@@ -244,8 +303,6 @@ class CrawlEngine:
             "url",
             "domain",
             F.lit(None).cast("timestamp").alias("warc_ts"),
-            F.lit(None).cast("string").alias("text"),
-            F.lit(None).cast("array<string>").alias("outlinks"),
             F.lit("robots_denied").alias("fetch_decision"),
             "depth",
             F.lit(round_no).cast("int").alias("round"),
@@ -255,6 +312,7 @@ class CrawlEngine:
         return {
             "results": all_results,
             "stalled": stalled,
+            "retry": retry_frontier,
             "frontier": frontier,
         }
 
@@ -292,14 +350,26 @@ class CrawlEngine:
         )
         _trace("seen append")
 
-        # 8. next frontier = stalled ∪ discovered outlinks
+        # 8. next frontier = stalled ∪ discovered outlinks. Outlinks
+        # live in pages_ext; the fetched set per round is politeness-
+        # bounded (small), so AQE turns this into a broadcast join —
+        # pages_ext streams through its scan, nothing wide shuffles.
         next_depth = F.col("depth") + 1
+        fetched_urls = round_results.where(
+            (F.col("fetch_decision") == "fetched")
+            & (F.col("depth") < cfg.max_depth)
+        ).select("url", "depth")
+        links = (
+            self.ensure_pages_ext()
+            if cfg.precompute_extraction
+            else self.extracted_pages()
+        ).select("url", "outlinks")
         discovered = (
-            round_results.where(
-                (F.col("fetch_decision") == "fetched")
-                & (F.col("depth") < cfg.max_depth)
+            links.join(fetched_urls, "url")
+            .select(
+                next_depth.cast("int").alias("depth"),
+                F.explode("outlinks").alias("url"),
             )
-            .select(next_depth.cast("int").alias("depth"), F.explode("outlinks").alias("url"))
         )
         engine = _engine_expr(F.col("depth"), cfg.engines)
         discovered_frontier = discovered.select(
@@ -316,7 +386,10 @@ class CrawlEngine:
             "discovered_round",
         )
         self.store.overwrite(
-            "frontier", stalled_frontier.unionByName(discovered_frontier)
+            "frontier",
+            stalled_frontier.unionByName(discovered_frontier).unionByName(
+                plan["retry"]
+            ),
         )
         _trace("frontier overwrite")
 
@@ -397,6 +470,30 @@ class CrawlEngine:
         return summaries
 
     # -- outputs ---------------------------------------------------------------
+    def results_with_text(self) -> DataFrame:
+        """Denormalized results view: decision log joined back to
+        pages_ext for text/outlinks of fetched rows (the old wide
+        results shape, computed on demand instead of stored twice)."""
+        res = self.store.read("results")
+        pext = (
+            self.ensure_pages_ext()
+            if self.config.precompute_extraction
+            else self.extracted_pages()
+        ).select("url", "text", "outlinks")
+        joined = res.join(pext, "url", "left")
+        is_fetched = F.col("fetch_decision") == "fetched"
+        return joined.select(
+            "url",
+            "domain",
+            "warc_ts",
+            F.when(is_fetched, F.col("text")).alias("text"),
+            F.when(is_fetched, F.col("outlinks")).alias("outlinks"),
+            "fetch_decision",
+            "depth",
+            "round",
+            "partition_id",
+        )
+
     def crawl_order(self) -> DataFrame:
         """The ordering contract: (round, domain, priority_rank, url) of
         processed (non-denied) urls, re-derived from results ranks."""

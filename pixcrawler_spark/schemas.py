@@ -63,17 +63,30 @@ FRONTIER_SCHEMA = StructType(
 
 # Fetch results appended per round (reference analog: Image ORM row,
 # backend/database/models.py:425-540), lineage-stamped per north rule.
+# Pure DECISION LOG: text/outlinks stay normalized in pages_ext and are
+# joined on demand (CrawlEngine.results_with_text) — storing them here
+# would double the corpus and drag wide columns through every round's
+# fetch join.
 RESULTS_SCHEMA = StructType(
     [
         StructField("url", StringType(), False),
         StructField("domain", StringType(), False),
         StructField("warc_ts", TimestampType(), True),
-        StructField("text", StringType(), True),
-        StructField("outlinks", ArrayType(StringType()), True),
         StructField("fetch_decision", StringType(), False),
         StructField("depth", IntegerType(), False),
         StructField("round", IntegerType(), False),
         StructField("partition_id", IntegerType(), False),
+    ]
+)
+
+# The extracted-pages table (WARC→columnar prep; one-time Arrow UDF pass).
+PAGES_EXT_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("warc_ts", TimestampType(), False),
+        StructField("text", StringType(), True),
+        StructField("outlinks", ArrayType(StringType()), True),
+        StructField("html_absent", BooleanType(), False),
     ]
 )
 

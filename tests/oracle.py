@@ -40,6 +40,7 @@ class CrawlOracle:
     max_rounds: int = 5
     round_len_s: float = 10.0
     engines: tuple[str, ...] = ("google", "bing", "baidu")
+    max_retries: int = 0
 
     results: list[OracleResult] = field(default_factory=list)
     seen: dict[str, int] = field(default_factory=dict)  # url -> round
@@ -96,6 +97,7 @@ class CrawlOracle:
                 "engine": self._engine(0),
                 "score": ENGINE_SCORES[self._engine(0)],
                 "discovered_round": 0,
+                "retry_count": 0,
             }
             for u in self.seeds
         ]
@@ -110,7 +112,8 @@ class CrawlOracle:
         for c in sorted(
             frontier,
             key=lambda c: (
-                c["url"], c["depth"], -c["score"], c["engine"], c["discovered_round"],
+                c["url"], c["depth"], -c["score"], c["engine"],
+                c["discovered_round"], -c.get("retry_count", 0),
             ),
         ):
             best.setdefault(c["url"], c)
@@ -135,6 +138,7 @@ class CrawlOracle:
             )
             self.seen[c["url"]] = r
         discovered: list[dict] = []
+        retries: list[dict] = []
         for c in admitted:
             url = c["url"]
             if url not in self.page_map:
@@ -147,6 +151,24 @@ class CrawlOracle:
                     decision = "fetched"
                     text = extract_text_py(html)
                     links = extract_outlinks_py(html)
+            if (
+                decision == "fetch_failed"
+                and c.get("retry_count", 0) < self.max_retries
+            ):
+                rk = c.get("retry_count", 0) + 1
+                eng = self.engines[(c["depth"] + rk) % len(self.engines)]
+                retries.append(
+                    {
+                        "url": url,
+                        "domain": c["domain"],
+                        "depth": c["depth"],
+                        "engine": eng,
+                        "score": ENGINE_SCORES[eng],
+                        "discovered_round": r,
+                        "retry_count": rk,
+                    }
+                )
+                continue
             self.results.append(
                 OracleResult(url, c["domain"], decision, c["depth"], r, text, links)
             )
@@ -163,9 +185,10 @@ class CrawlOracle:
                             "engine": eng,
                             "score": ENGINE_SCORES[eng],
                             "discovered_round": r,
+                            "retry_count": 0,
                         }
                     )
-        return stalled + discovered
+        return stalled + discovered + retries
 
     # -- contract views ---------------------------------------------------
     def ordering(self) -> set[tuple]:

@@ -104,7 +104,7 @@ def test_crawl_ordering_matches_oracle(engine_run, oracle):
 def test_extracted_text_byte_identical(engine_run, spark, fixture_dir):
     """input_hint invariant: extracted text == pages.text per url."""
     eng, _ = engine_run
-    res = eng.store.read("results").where(F.col("fetch_decision") == "fetched")
+    res = eng.results_with_text().where(F.col("fetch_decision") == "fetched")
     pages = spark.read.parquet(f"{fixture_dir}/pages.parquet").select(
         "url", F.col("text").alias("expected_text")
     )
@@ -187,3 +187,23 @@ def test_config_validation():
         CrawlConfig(seeds=[]).validate()
     with pytest.raises(ValueError):
         CrawlConfig(seeds=["x"], engines=("nope",)).validate()
+
+
+def test_retry_ladder_matches_oracle(spark, fixture_dir, tmp_path_factory, seeds):
+    """fetch_failed urls re-enqueue with rotated engine until
+    max_retries, then land in results — vs the oracle."""
+    eng_r = _mk_engine(
+        spark, fixture_dir, tmp_path_factory.mktemp("store_retry"), seeds,
+        max_retries=2, max_rounds=4,
+    )
+    eng_r.run()
+    o = CrawlOracle(
+        pages_path=f"{fixture_dir}/pages.parquet",
+        robots_path=f"{fixture_dir}/robots.parquet",
+        seeds=seeds, max_depth=2, max_rounds=4, round_len_s=2.0, max_retries=2,
+    )
+    o.run()
+    assert _seen_set(eng_r) == {(u, r) for u, r in o.seen.items()}
+    assert _decisions(eng_r) == {
+        res.url: (res.fetch_decision, res.depth, res.round) for res in o.results
+    }

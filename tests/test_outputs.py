@@ -31,7 +31,7 @@ def results(spark, tmp_path_factory):
         CrawlConfig(seeds=seeds, max_depth=2, max_rounds=3),
     )
     eng.run()
-    return store.read("results")
+    return eng.results_with_text()
 
 
 def test_sequential_names_contiguous(results):
