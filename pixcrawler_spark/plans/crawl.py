@@ -1,5 +1,5 @@
-"""The crawl round loop: frontier → seen anti-join → robots → politeness
-→ priority admission → fetch join → extraction → append + expand.
+"""The crawl round loop: frontier → robots → priority admission →
+fetch join → decision log → frontier/seen maintenance.
 
 This is the Spark trace of the reference's whole lifecycle
 (SURVEY.md §3.1 step list): the driver loop replaces the poll/retry
@@ -20,26 +20,52 @@ identical results, ordering, and seen set — the pytest oracle
 (tests/oracle.py) re-implements these semantics in straight-line
 pandas and must match exactly.
 
+ARCHITECTURE (v2 — Mercator-style frontier invariant):
+
+The frontier table is maintained with the invariant **unique urls,
+disjoint from the seen set** (the reference's progress-cache skip,
+builder/progress.py:84-96, enforced at enqueue time instead of per
+round). A round is then two jobs:
+
+1. DECIDE (the hot path, one linear plan, materialized once as
+   ``round_log``): scan frontier → broadcast robots join → either
+   record ``robots_denied``, or rank by priority per domain and admit
+   up to the politeness capacity → join admitted against the
+   (bucketed) pages table on url → fetch-decision CASE. Rows the rank
+   cuts are *politeness stalls*: they are simply not in the log and
+   stay in the frontier untouched.
+2. MAINTAIN (deltas only): results/seen append = scans of the
+   committed log; next frontier = (frontier ANTI log) merged with the
+   deduped, seen-filtered discoveries + retry re-enqueues.
+
 SCALE NOTES (10^10-URL frontier):
-- every join key is url or domain; url-keyed shuffles are
-  hash-uniform. The domain-keyed priority window is the skew point
-  (Zipf hosts), so admission uses SALTED TWO-PHASE top-k when
-  ``salt_buckets > 1``: rank within (domain, salt) first — capacity
-  is <= max_per_round, so at most salt*capacity rows per domain
-  survive to the exact per-domain re-rank. Hot domains never
-  concentrate on one task.
-- the seen set is consulted via bloom pre-filter + exact confirm
-  (operators/seen.py) when ``use_bloom`` — no false drops possible.
-- each round commits frontier/seen/results snapshots (TableStore →
-  Iceberg in production), so lineage never grows across rounds and a
-  crash resumes from the last commit.
+- **No wide shuffle of any static table.** ``seen``, ``pages_ext``
+  and ``frontier`` are stored bucketed by url (TableStore → Iceberg
+  ``bucket(N, url)`` in production), so the fetch join, the discovery
+  anti-joins and the remainder anti-join only shuffle the per-round
+  delta (politeness-bounded), never the big side.
+- **Skew-proof admission.** The per-domain priority window ranks a
+  Zipf-skewed key; the admission filter carries a *literal* global
+  capacity bound alongside the per-domain capacity column, which lets
+  Spark's WindowGroupLimit rule run a map-side partial top-K per
+  domain BEFORE the exchange — the hottest domain contributes at most
+  K rows per map task to the shuffle instead of its full row count.
+  (``bench/profile_round.py`` measured the unsalted window serializing
+  18% of the corpus into one task without this.) The salted two-phase
+  variant (``salt_buckets > 1``) covers unbounded-capacity scenarios.
+- The discovery seen-probe can be bloom-accelerated (operators/
+  seen.py) when ``use_bloom`` — no false drops possible.
+- Each round commits round_log/results/seen/frontier/metrics
+  (TableStore → Iceberg in production); a crashed round re-runs
+  idempotently: ``round-N``-tagged results snapshots are dropped on
+  re-entry and the deterministic decide plan regenerates them.
 """
 
 from __future__ import annotations
 
 import os
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 _TRACE = os.environ.get("PIXCRAWLER_TRACE", "") == "1"
 
@@ -54,6 +80,18 @@ from pixcrawler_spark.schemas import FRONTIER_SCHEMA, SEEN_SCHEMA
 from pixcrawler_spark.sources.tables import TableStore
 
 ENGINE_SCORES = {"google": 1.0, "bing": 0.8, "baidu": 0.6}
+
+# priority/dedup ordering used everywhere a "best" frontier row is
+# chosen: (depth asc, score desc, engine asc, discovered_round asc,
+# retry_count desc) — the further-along retry row wins ties
+def _best_order():
+    return [
+        F.asc("depth"),
+        F.desc("score"),
+        F.asc("engine"),
+        F.asc("discovered_round"),
+        F.desc("retry_count"),
+    ]
 
 
 @dataclass
@@ -79,14 +117,12 @@ class CrawlConfig:
     # Materialize extraction ONCE into a compact pages_ext table
     # (url, warc_ts, text, outlinks) instead of re-running the Arrow
     # UDF on raw html every round. Extraction is deterministic per
-    # page, so per-round extraction repeats work AND — measured — the
-    # fetch join then shuffles ~1 KB of html per row through local
-    # disk, which is the one resource cores don't scale (this
-    # sandbox's single virtio disk; spinning-rust-adjacent on real
-    # clusters too). With pages_ext the round loop is pure JVM: only
-    # ~300 B of text/outlinks move, and the Python stage runs exactly
-    # once per corpus. This is the standard WARC→columnar prep step.
+    # page; this is the standard WARC→columnar prep step, and it keeps
+    # the steady-state round loop pure JVM.
     precompute_extraction: bool = True
+    # url-hash bucket count for the seen/pages_ext/frontier tables
+    # (Iceberg bucket(N, url) in production). Set ≈ total cores.
+    n_buckets: int = 32
 
     def validate(self) -> None:
         if not self.seeds:
@@ -125,6 +161,8 @@ class CrawlEngine:
         self.spark = spark
         self.config = config
         self.store = store
+        self._bucket = (("url",), config.n_buckets)
+        self._cap_bound: int | None = None
         self.pages = (
             pages_path
             if isinstance(pages_path, DataFrame)
@@ -140,11 +178,12 @@ class CrawlEngine:
     def frontier_from(self, urls_df: DataFrame) -> DataFrame:
         """Build a depth-0 frontier from any DataFrame with a url column
         (used by run() for config seeds and by the bench harness to seed
-        the whole corpus without a driver-side list)."""
+        the whole corpus without a driver-side list). Drops duplicate
+        urls (frontier invariant)."""
         cfg = self.config
         depth = F.lit(0)
         engine = _engine_expr(depth, cfg.engines)
-        return urls_df.select(
+        return urls_df.select("url").dropDuplicates(["url"]).select(
             "url",
             pol.domain_expr("url").alias("domain"),
             depth.cast("int").alias("depth"),
@@ -172,9 +211,13 @@ class CrawlEngine:
         )
 
     def ensure_pages_ext(self) -> DataFrame:
-        """Materialize the one-time extraction table (idempotent)."""
+        """Materialize the one-time extraction table, bucketed by url so
+        every later fetch/expansion join scans it exchange-free
+        (idempotent)."""
         if not self.store.exists("pages_ext"):
-            self.store.overwrite("pages_ext", self.extracted_pages())
+            self.store.overwrite(
+                "pages_ext", self.extracted_pages(), bucket=self._bucket
+            )
         return self.store.read("pages_ext")
 
     def current_round(self) -> int:
@@ -183,104 +226,145 @@ class CrawlEngine:
         row = self.store.read("metrics").agg(F.max("round").alias("r")).collect()[0]
         return int(row["r"] or 0)
 
+    def _capacity_bound(self) -> int:
+        """Literal global upper bound on per-domain capacity, computed
+        once per crawl from the robots table (+ the unknown-domain
+        default). Conjoining ``rank <= BOUND`` (literal) with the exact
+        ``rank <= capacity`` (column) lets WindowGroupLimit cut the
+        window map-side — the skew story of the admission operator."""
+        if self._cap_bound is None:
+            row = (
+                self.robots.select(
+                    pol.capacity_expr(self.config.round_len_s).alias("cap")
+                )
+                .agg(F.max("cap").alias("m"))
+                .collect()[0]
+            )
+            default_cap = pol.DEFAULT_MAX_PER_ROUND
+            if pol.DEFAULT_CRAWL_DELAY_S > 0:
+                default_cap = min(
+                    default_cap,
+                    int(self.config.round_len_s // pol.DEFAULT_CRAWL_DELAY_S),
+                )
+            self._cap_bound = max(int(row["m"] or 0), default_cap, 1)
+        return self._cap_bound
+
     # -- one micro-round ------------------------------------------------------
-    def plan_round(self, round_no: int) -> dict:
-        """Build (lazily) the round's DataFrames without committing:
-        {'results': all decided rows, 'stalled': deferred frontier rows,
-        'frontier': the input frontier}. Used by run_round (which
-        commits) and by the compute-only bench path."""
+    def decide_plan(self, round_no: int) -> DataFrame:
+        """The round's decision log as ONE lazily-built DataFrame:
+        every row of the frontier that gets decided this round —
+        robots_denied ∪ admitted (fetched / fetch_failed / not_found)
+        — with a ``will_retry`` marker for transient failures below
+        the retry budget. Politeness-stalled rows are absent by
+        design (they stay in the frontier).
+
+        The plan is linear except the denied/admitted split, whose
+        shared prefix is only scan + broadcast join (cheap to run
+        twice; no shuffle, no window)."""
         cfg = self.config
         frontier = self.store.read("frontier", FRONTIER_SCHEMA)
-        seen = self.store.read("seen", SEEN_SCHEMA)
-
-        # 1. per-url dedup of candidates (duplicate discoveries keep the
-        #    best (depth, score, url) row — deterministic)
-        wdup = Window.partitionBy("url").orderBy(
-            F.asc("depth"),
-            F.desc("score"),
-            F.asc("engine"),
-            F.asc("discovered_round"),
-            F.desc("retry_count"),  # prefer the further-along retry row
-        )
-        candidates = (
-            frontier.withColumn("_rn", F.row_number().over(wdup))
-            .where(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-
-        # 2. seen-set anti-join (bloom-accelerated when configured)
-        unseen = anti_join_seen(candidates, seen, use_bloom=cfg.use_bloom)
-
-        # 3. robots + politeness params (broadcast join). NOTE: branches
-        # below (denied / admitted / stalled) re-derive from this plan;
-        # measured at 100k rows, recomputation beats persist() by ~2x
-        # (MEMORY_AND_DISK serialization costs more than the narrow
-        # recompute), so no caching here.
-        ruled = pol.with_robots_decision(unseen, self.robots)
+        ruled = pol.with_robots_decision(frontier, self.robots)
 
         denied = ruled.where(F.col("robots_denied"))
         allowed = ruled.where(~F.col("robots_denied"))
 
-        # 4. priority admission (salted two-phase when configured)
+        # priority admission: exact per-domain top-capacity
         if cfg.salt_buckets > 1:
+            # two-phase salted top-k (unbounded-capacity safe): phase 1
+            # cuts each (domain, salt) shard to capacity — at most
+            # salt*capacity rows per domain reach the exact re-rank
             salt = F.pmod(F.xxhash64("url"), F.lit(cfg.salt_buckets))
             w1 = Window.partitionBy("domain", salt.alias("_salt")).orderBy(
                 F.asc("depth"), F.desc("score"), F.asc("url")
             )
-            # phase 1: cut each (domain, salt) shard to its capacity —
-            # at most salt_buckets * capacity rows per domain survive
-            pre = allowed.withColumn("_prern", F.row_number().over(w1)).where(
-                F.col("_prern") <= pol.capacity_expr(cfg.round_len_s)
+            survivors = (
+                allowed.withColumn("_prern", F.row_number().over(w1))
+                .where(F.col("_prern") <= pol.capacity_expr(cfg.round_len_s))
+                .drop("_prern")
             )
-            survivors = pre.drop("_prern")
-            ranked_top = pol.admit(survivors, cfg.round_len_s)
-            # rows cut in phase 1 are stalled by definition (rank > capacity)
-            stalled_phase1 = allowed.join(
-                survivors.select("url"), "url", "left_anti"
-            ).withColumn("admitted", F.lit(False))
-            admitted = ranked_top.where(F.col("admitted"))
-            stalled = ranked_top.where(~F.col("admitted")).unionByName(
-                stalled_phase1, allowMissingColumns=True
+            admitted = (
+                pol.admit(survivors, cfg.round_len_s)
+                .where(F.col("admitted"))
+                .drop("priority_rank", "admitted")
             )
         else:
-            ranked = pol.admit(allowed, cfg.round_len_s)
-            admitted = ranked.where(F.col("admitted"))
-            stalled = ranked.where(~F.col("admitted"))
+            w = Window.partitionBy("domain").orderBy(
+                F.asc("depth"), F.desc("score"), F.asc("url")
+            )
+            bound = self._capacity_bound()
+            admitted = (
+                allowed.withColumn("_rank", F.row_number().over(w))
+                .where(
+                    (F.col("_rank") <= F.lit(bound))  # literal → WindowGroupLimit
+                    & (F.col("_rank") <= pol.capacity_expr(cfg.round_len_s))
+                )
+                .drop("_rank")
+            )
 
-        # 5. fetch = join extracted pages on url; decision CASE. The
-        # results table is a pure DECISION LOG: text/outlinks stay
-        # normalized in pages_ext (joined on demand via
-        # results_with_text), so the fetch join moves only ~60 B/row —
-        # Catalyst prunes text/outlinks out of the scan entirely.
+        # fetch = join admitted against the bucketed pages table on url
+        # (only the admitted delta shuffles); decision CASE replaces
+        # classify_http_error (builder/_exceptions.py:216-240)
         pext = (
             self.ensure_pages_ext()
             if cfg.precompute_extraction
             else self.extracted_pages()
         )
         pages = pext.select(
-            "url",
-            "warc_ts",
-            "html_absent",
-            F.lit(True).alias("_page_exists"),
+            "url", "warc_ts", "html_absent", F.lit(True).alias("_page_exists")
         )
-        fetched_join = admitted.join(pages, "url", "left")
+        fetched = admitted.join(pages, "url", "left")
         decision = (
             F.when(F.col("_page_exists").isNull(), "not_found")
             .when(F.col("html_absent"), "fetch_failed")
             .otherwise("fetched")
         )
-        decided = fetched_join.withColumn("fetch_decision", decision)
+        decided = fetched.withColumn("fetch_decision", decision)
 
-        # retry ladder: transient failures below budget re-enqueue
-        # instead of being recorded (CrawlConfig.max_retries)
-        retryable_pred = (F.col("fetch_decision") == "fetch_failed") & (
-            F.col("retry_count") < F.lit(cfg.max_retries)
+        log_cols = [
+            "url",
+            "domain",
+            "depth",
+            "engine",
+            "score",
+            "retry_count",
+            "warc_ts",
+            "fetch_decision",
+            "will_retry",
+            F.lit(round_no).cast("int").alias("round"),
+            F.spark_partition_id().alias("partition_id"),
+        ]
+        decided_log = decided.withColumn(
+            "will_retry",
+            (F.col("fetch_decision") == "fetch_failed")
+            & (F.col("retry_count") < F.lit(cfg.max_retries)),
+        ).select(*log_cols)
+        denied_log = (
+            denied.withColumn("warc_ts", F.lit(None).cast("timestamp"))
+            .withColumn("fetch_decision", F.lit("robots_denied"))
+            .withColumn("will_retry", F.lit(False))
+            .select(*log_cols)
         )
-        retryable = decided.where(retryable_pred)
-        decided = decided.where(~retryable_pred)
+        return decided_log.unionByName(denied_log)
+
+    def plan_round(self, round_no: int) -> dict:
+        """Compatibility view over decide_plan: {'results': recorded
+        decisions, 'retry': re-enqueued frontier rows, 'frontier': the
+        input frontier}."""
+        log = self.decide_plan(round_no)
+        return {
+            "results": log.where(~F.col("will_retry")).select(
+                "url", "domain", "warc_ts", "fetch_decision", "depth",
+                "round", "partition_id",
+            ),
+            "retry": self._retry_frontier(log, round_no),
+            "frontier": self.store.read("frontier", FRONTIER_SCHEMA),
+        }
+
+    def _retry_frontier(self, log: DataFrame, round_no: int) -> DataFrame:
+        cfg = self.config
         next_retry = F.col("retry_count") + 1
         retry_engine = _engine_expr(F.col("depth") + next_retry, cfg.engines)
-        retry_frontier = retryable.select(
+        return log.where(F.col("will_retry")).select(
             "url",
             "domain",
             "depth",
@@ -290,31 +374,69 @@ class CrawlEngine:
             F.lit(round_no).cast("int").alias("discovered_round"),
         )
 
-        results = decided.select(
-            "url",
-            "domain",
-            "warc_ts",
-            "fetch_decision",
-            "depth",
-            F.lit(round_no).cast("int").alias("round"),
-            F.spark_partition_id().alias("partition_id"),
+    def _discovered_frontier(self, log: DataFrame, round_no: int) -> DataFrame:
+        """Outlinks of this round's fetched pages as frontier rows
+        (pre-dedup). The expansion join hits the bucketed pages table,
+        so only the fetched delta shuffles."""
+        cfg = self.config
+        fetched_urls = log.where(
+            (F.col("fetch_decision") == "fetched")
+            & (F.col("depth") < cfg.max_depth)
+            & (~F.col("will_retry"))
+        ).select("url", "depth")
+        links = (
+            self.ensure_pages_ext()
+            if cfg.precompute_extraction
+            else self.extracted_pages()
+        ).select("url", "outlinks")
+        next_depth = (F.col("depth") + 1).cast("int")
+        discovered = links.join(fetched_urls, "url").select(
+            next_depth.alias("depth"), F.explode("outlinks").alias("url")
         )
-        denied_results = denied.select(
+        engine = _engine_expr(F.col("depth"), cfg.engines)
+        return discovered.select(
             "url",
-            "domain",
-            F.lit(None).cast("timestamp").alias("warc_ts"),
-            F.lit("robots_denied").alias("fetch_decision"),
+            pol.domain_expr("url").alias("domain"),
             "depth",
-            F.lit(round_no).cast("int").alias("round"),
-            F.spark_partition_id().alias("partition_id"),
+            engine.alias("engine"),
+            _score_expr(engine).alias("score"),
+            F.lit(0).cast("int").alias("retry_count"),
+            F.lit(round_no).cast("int").alias("discovered_round"),
         )
-        all_results = results.unionByName(denied_results)
-        return {
-            "results": all_results,
-            "stalled": stalled,
-            "retry": retry_frontier,
-            "frontier": frontier,
-        }
+
+    @staticmethod
+    def _merge_best(remainder: DataFrame, delta: DataFrame) -> DataFrame:
+        """Full-outer merge of two unique-url frontier sets keeping the
+        best row per url by _best_order(). The remainder side is the
+        bucketed frontier scan (no exchange); only the delta shuffles.
+        Implemented as a struct min — (depth, -score, engine,
+        discovered_round, -retry_count) is totally ordered."""
+        def keyed(df: DataFrame, side: str) -> DataFrame:
+            return df.select(
+                "url",
+                F.struct(
+                    F.col("depth"),
+                    (-F.col("score")).alias("_negscore"),
+                    F.col("engine"),
+                    F.col("discovered_round"),
+                    (-F.col("retry_count")).alias("_negretry"),
+                    F.col("domain"),
+                    F.col("score"),
+                    F.col("retry_count"),
+                ).alias(f"_k_{side}"),
+            )
+
+        merged = keyed(remainder, "a").join(keyed(delta, "b"), "url", "full_outer")
+        best = F.least(F.col("_k_a"), F.col("_k_b"))  # least ignores nulls
+        return merged.select(
+            "url",
+            best["domain"].alias("domain"),
+            best["depth"].alias("depth"),
+            best["engine"].alias("engine"),
+            best["score"].alias("score"),
+            best["retry_count"].alias("retry_count"),
+            best["discovered_round"].alias("discovered_round"),
+        )
 
     def run_round(self, round_no: int) -> dict:
         cfg = self.config
@@ -330,101 +452,96 @@ class CrawlEngine:
                 )
                 _last[0] = now
 
-        plan = self.plan_round(round_no)
-        n_frontier = plan["frontier"].count()
-        _trace("frontier count")
-        stalled = plan["stalled"]
-        self.store.append("results", plan["results"])
-        _trace("results append (main pipeline)")
+        # crash recovery: a re-run of this round drops its half-committed
+        # results snapshots (seen rows are guarded by completed_round)
+        self.store.drop_tagged("results", {f"round-{round_no}"})
 
-        # read back the committed snapshot — cuts lineage, one scan reused
-        # by metrics + expansion below
-        round_results = self.store.read("results").where(F.col("round") == round_no)
+        # 1. DECIDE — the one heavy job of the round
+        self.store.overwrite("round_log", self.decide_plan(round_no))
+        log = self.store.read("round_log")
+        _trace("decide (round_log commit)")
 
-        # 7. seen += processed urls (admitted + denied)
+        # 2. results/seen appends = scans of the committed log
+        recorded = log.where(~F.col("will_retry"))
+        self.store.append(
+            "results",
+            recorded.select(
+                "url", "domain", "warc_ts", "fetch_decision", "depth",
+                "round", "partition_id",
+            ),
+            tag=f"round-{round_no}",
+        )
+        _trace("results append")
         self.store.append(
             "seen",
-            round_results.select(
+            recorded.select(
                 "url", F.lit(round_no).cast("int").alias("completed_round")
             ),
+            bucket=self._bucket,
         )
         _trace("seen append")
 
-        # 8. next frontier = stalled ∪ discovered outlinks. Outlinks
-        # live in pages_ext; the fetched set per round is politeness-
-        # bounded (small), so AQE turns this into a broadcast join —
-        # pages_ext streams through its scan, nothing wide shuffles.
-        next_depth = F.col("depth") + 1
-        fetched_urls = round_results.where(
-            (F.col("fetch_decision") == "fetched")
-            & (F.col("depth") < cfg.max_depth)
-        ).select("url", "depth")
-        links = (
-            self.ensure_pages_ext()
-            if cfg.precompute_extraction
-            else self.extracted_pages()
-        ).select("url", "outlinks")
-        discovered = (
-            links.join(fetched_urls, "url")
-            .select(
-                next_depth.cast("int").alias("depth"),
-                F.explode("outlinks").alias("url"),
-            )
+        # 3. next frontier = (frontier ANTI log) ⊕ best(discoveries ∪
+        #    retries, seen-filtered). All joins hit bucketed tables on
+        #    url; only per-round deltas shuffle.
+        frontier = self.store.read("frontier", FRONTIER_SCHEMA)
+        # count before the overwrite below invalidates this generation
+        n_frontier = frontier.count()
+        remainder = frontier.join(log.select("url"), "url", "left_anti")
+        delta = self._discovered_frontier(log, round_no).unionByName(
+            self._retry_frontier(log, round_no)
         )
-        engine = _engine_expr(F.col("depth"), cfg.engines)
-        discovered_frontier = discovered.select(
-            "url",
-            pol.domain_expr("url").alias("domain"),
-            "depth",
-            engine.alias("engine"),
-            _score_expr(engine).alias("score"),
-            F.lit(0).cast("int").alias("retry_count"),
-            F.lit(round_no).cast("int").alias("discovered_round"),
+        wdup = Window.partitionBy("url").orderBy(*_best_order())
+        delta_best = (
+            delta.withColumn("_rn", F.row_number().over(wdup))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
         )
-        stalled_frontier = stalled.select(
-            "url", "domain", "depth", "engine", "score", "retry_count",
-            "discovered_round",
+        seen = self.store.read("seen", SEEN_SCHEMA).where(
+            F.col("completed_round") <= round_no
         )
-        self.store.overwrite(
-            "frontier",
-            stalled_frontier.unionByName(discovered_frontier).unionByName(
-                plan["retry"]
-            ),
-        )
-        _trace("frontier overwrite")
+        delta_new = anti_join_seen(delta_best, seen, use_bloom=cfg.use_bloom)
+        next_frontier = self._merge_best(remainder, delta_new)
+        self.store.overwrite("frontier", next_frontier, bucket=self._bucket)
+        _trace("frontier merge commit")
 
-        # 9. metrics (per-partition + per-round)
-        wall = time.monotonic() - t0
+        # 4. metrics (per-partition + per-round); n_stalled comes from
+        #    cheap committed-table counts
         per_part = (
-            round_results.groupBy("partition_id")
+            log.groupBy("partition_id")
             .agg(
                 F.count(F.lit(1)).alias("n_processed"),
                 F.sum(
                     F.when(F.col("fetch_decision") == "robots_denied", 1).otherwise(0)
                 ).alias("n_robots_denied"),
                 F.sum(
-                    F.when(F.col("fetch_decision") == "fetched", 1).otherwise(0)
+                    F.when(
+                        (F.col("fetch_decision") == "fetched")
+                        & (~F.col("will_retry")),
+                        1,
+                    ).otherwise(0)
                 ).alias("n_fetched"),
             )
             .collect()
         )
         _trace("metrics collect")
-        n_processed = sum(r["n_processed"] for r in per_part)
+        wall = time.monotonic() - t0
+        n_decided = sum(r["n_processed"] for r in per_part)
         n_denied = sum(r["n_robots_denied"] for r in per_part)
         n_fetched_total = sum(r["n_fetched"] for r in per_part)
-        n_stalled = (
-            self.store.read("frontier", FRONTIER_SCHEMA)
-            .where(F.col("discovered_round") < round_no)
-            .count()
+        n_retrying = int(
+            log.where(F.col("will_retry")).count()
         )
-        _trace("stalled count (committed frontier)")
-        n_unseen = n_processed + n_stalled
+        n_processed = n_decided - n_retrying
+        n_stalled = n_frontier - n_decided  # politeness deferrals
+        from pixcrawler_spark.schemas import METRICS_SCHEMA
+
         metrics_rows = [
             (
                 round_no,
                 int(r["partition_id"]),
                 int(n_frontier),
-                int(n_frontier - n_unseen),
+                0,  # seen-skips are impossible by the frontier invariant
                 int(n_stalled),
                 int(r["n_robots_denied"]),
                 int(r["n_fetched"]),
@@ -432,22 +549,24 @@ class CrawlEngine:
                 float(r["n_processed"] / wall if wall > 0 else 0.0),
             )
             for r in per_part
-        ] or [(round_no, -1, int(n_frontier), int(n_frontier - n_unseen), int(n_stalled), 0, 0, float(wall), 0.0)]
-        from pixcrawler_spark.schemas import METRICS_SCHEMA
-
+        ] or [
+            (round_no, -1, int(n_frontier), 0, int(n_stalled), 0, 0, float(wall), 0.0)
+        ]
         self.store.append(
             "metrics", self.spark.createDataFrame(metrics_rows, METRICS_SCHEMA)
         )
         return {
             "round": round_no,
             "n_frontier": n_frontier,
-            "n_seen_skipped": int(n_frontier - n_unseen),
+            "n_seen_skipped": 0,
             "n_processed": int(n_processed),
+            "n_decided": int(n_decided),
             "n_robots_denied": int(n_denied),
             "n_fetched": int(n_fetched_total),
+            "n_retrying": n_retrying,
             "n_stalled": int(n_stalled),
             "wall_seconds": round(wall, 3),
-            "urls_per_sec": round(n_processed / wall, 1) if wall > 0 else 0.0,
+            "urls_per_sec": round(n_frontier / wall, 1) if wall > 0 else 0.0,
         }
 
     # -- full crawl ------------------------------------------------------------
@@ -456,9 +575,9 @@ class CrawlEngine:
         ``resume=True`` continues from the last committed round — the
         checkpoint-equivalence contract (FIXTURES.md §4)."""
         if not resume:
-            for t in ("frontier", "seen", "results", "metrics"):
+            for t in ("frontier", "seen", "results", "metrics", "round_log"):
                 self.store.drop(t)
-            self.store.overwrite("frontier", self._seed_frontier())
+            self.store.overwrite("frontier", self._seed_frontier(), bucket=self._bucket)
             start = 1
         else:
             start = self.current_round() + 1
@@ -472,8 +591,8 @@ class CrawlEngine:
     # -- outputs ---------------------------------------------------------------
     def results_with_text(self) -> DataFrame:
         """Denormalized results view: decision log joined back to
-        pages_ext for text/outlinks of fetched rows (the old wide
-        results shape, computed on demand instead of stored twice)."""
+        pages_ext for text/outlinks of fetched rows (the results table
+        is a pure decision log; text stays normalized in pages_ext)."""
         res = self.store.read("results")
         pext = (
             self.ensure_pages_ext()

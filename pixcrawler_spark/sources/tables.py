@@ -7,6 +7,19 @@ surface (``append``, ``read``, ``snapshot_id``) so the engine code
 never branches on the backend. On a cluster, swap ``ParquetTableStore``
 for ``df.writeTo(tbl).append()`` against a real catalog.
 
+Bucketed tables: tables whose every consumer joins on one key (the
+crawl engine's ``seen`` / ``pages_ext`` / ``frontier``, all url-keyed)
+are stored as Spark catalog tables ``CLUSTERED BY (url) INTO N
+BUCKETS``. A bucketed scan reports HashPartitioning(url, N), so the
+seen anti-join, the fetch join, and the frontier-remainder anti-join
+all run with ZERO exchange on the big static side — only the small
+per-round delta shuffles. This is the parquet stand-in for Iceberg's
+bucket partition transform (``bucket(N, url)``); at 10^10-URL scale it
+is the difference between re-shuffling the full seen set every round
+and shuffling only the round's discoveries. Catalog metadata is
+re-registered from the manifest on session restart (external-table
+DDL over the existing bucket files), so resume works across processes.
+
 Reference analogs: the image sink + progress cache + Postgres rows
 (builder/_search_engines.py:190-202, builder/progress.py:37-154,
 backend/database/models.py) all collapse into this one table layer.
@@ -14,6 +27,7 @@ backend/database/models.py) all collapse into this one table layer.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
@@ -46,6 +60,12 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
 
 
+def _schema_ddl(schema: StructType) -> str:
+    return ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+    )
+
+
 class TableStore:
     """Append-only snapshot table over parquet with a manifest pointer.
 
@@ -54,16 +74,27 @@ class TableStore:
         <root>/<table>/data/<snapshot-uuid>/part-*.parquet   (appends)
         <root>/<table>/manifest.json                          (pointer)
 
-    ``manifest.json`` lists committed snapshot dirs in commit order; a
-    reader unions exactly the committed snapshots, so a crashed append
-    (data written, manifest not updated) is invisible — the same
+    ``manifest.json`` lists committed snapshot dirs in commit order
+    (each entry ``{"snap": dir, "tag": optional-str}``); a reader
+    unions exactly the committed snapshots, so a crashed append (data
+    written, manifest not updated) is invisible — the same
     snapshot-isolation property Iceberg gives, at tiny scale. Commit is
-    a POSIX atomic rename.
+    a POSIX atomic rename. ``drop_tagged`` removes snapshots by tag,
+    which the crawl engine uses to make a re-run of a crashed round
+    idempotent (drop any ``round-N`` snapshots before re-appending).
+
+    Bucketed tables (``bucket=(cols, n)`` on overwrite/append) live as
+    external Spark catalog tables instead; see module docstring. Their
+    append path has weaker crash atomicity than the manifest (Spark's
+    file-commit protocol only) — Iceberg restores full ACID in
+    production.
     """
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        # catalog names must be unique per store root within a session
+        self._cat_id = hashlib.md5(os.path.abspath(root).encode()).hexdigest()[:8]
         os.makedirs(root, exist_ok=True)
 
     # -- internals ---------------------------------------------------------
@@ -76,64 +107,198 @@ class TableStore:
     def _read_manifest(self, table: str) -> dict:
         p = self._manifest_path(table)
         if not os.path.exists(p):
-            return {"snapshots": [], "schema": None}
+            return {"snapshots": [], "schema": None, "bucketed": None}
         with open(p) as f:
-            return json.load(f)
+            m = json.load(f)
+        # back-compat: plain-string snapshot entries
+        m["snapshots"] = [
+            s if isinstance(s, dict) else {"snap": s, "tag": None}
+            for s in m.get("snapshots", [])
+        ]
+        m.setdefault("bucketed", None)
+        return m
 
     def _write_manifest(self, table: str, manifest: dict) -> None:
+        os.makedirs(self._tdir(table), exist_ok=True)
         tmp = self._manifest_path(table) + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         os.replace(tmp, self._manifest_path(table))
 
+    def _new_snap(self) -> str:
+        return f"snap-{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}"
+
+    # -- bucketed internals ------------------------------------------------
+    def _cat_name(self, table: str, generation: int) -> str:
+        return f"pixstore_{self._cat_id}_{table}_g{generation}"
+
+    def _register_bucketed(self, table: str, manifest: dict) -> str:
+        """Ensure the catalog table for the current generation exists
+        (re-created from manifest DDL after a session restart)."""
+        b = manifest["bucketed"]
+        name = self._cat_name(table, b["generation"])
+        if not self.spark.catalog.tableExists(name):
+            schema = StructType.fromJson(json.loads(manifest["schema"]))
+            cols = ", ".join(f"`{c}`" for c in b["cols"])
+            self.spark.sql(
+                f"CREATE TABLE {name} ({_schema_ddl(schema)}) USING PARQUET "
+                f"CLUSTERED BY ({cols}) SORTED BY ({cols}) "
+                f"INTO {b['n']} BUCKETS LOCATION '{b['location']}'"
+            )
+        return name
+
+    def _drop_catalog(self, name: str) -> None:
+        try:
+            self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+        except Exception:
+            pass
+
     # -- public surface ----------------------------------------------------
     def exists(self, table: str) -> bool:
-        return bool(self._read_manifest(table)["snapshots"])
+        m = self._read_manifest(table)
+        return bool(m["snapshots"]) or m["bucketed"] is not None
 
-    def append(self, table: str, df: DataFrame) -> str:
-        """Commit ``df`` as a new snapshot; returns the snapshot id."""
-        snap = f"snap-{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}"
+    def append(
+        self,
+        table: str,
+        df: DataFrame,
+        tag: str | None = None,
+        bucket: tuple[tuple[str, ...], int] | None = None,
+    ) -> str:
+        """Commit ``df`` as a new snapshot; returns the snapshot id.
+        For bucketed tables the rows are inserted into the current
+        generation's bucket files (``tag`` is not tracked per-row there;
+        the engine guards bucketed reads by a round column instead)."""
+        manifest = self._read_manifest(table)
+        if manifest["bucketed"] is not None or (
+            bucket is not None and not manifest["snapshots"]
+        ):
+            if manifest["bucketed"] is None:
+                return self.overwrite(table, df, bucket=bucket)
+            name = self._register_bucketed(table, manifest)
+            b = manifest["bucketed"]
+            (
+                df.write.bucketBy(b["n"], *b["cols"])
+                .sortBy(*b["cols"])
+                .mode("append")
+                .format("parquet")
+                .saveAsTable(name)
+            )
+            return name
+        snap = self._new_snap()
         data_dir = os.path.join(self._tdir(table), "data", snap)
         df.write.mode("overwrite").parquet(data_dir)
-        manifest = self._read_manifest(table)
-        manifest["snapshots"].append(snap)
+        manifest["snapshots"].append({"snap": snap, "tag": tag})
         manifest["schema"] = df.schema.json()
         self._write_manifest(table, manifest)
         return snap
 
-    def overwrite(self, table: str, df: DataFrame) -> str:
-        """Replace table contents with ``df`` (single-snapshot commit)."""
-        snap = f"snap-{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}"
+    def overwrite(
+        self,
+        table: str,
+        df: DataFrame,
+        bucket: tuple[tuple[str, ...], int] | None = None,
+    ) -> str:
+        """Replace table contents with ``df`` (single-snapshot commit).
+        Writes to a fresh location then flips the manifest, so reading
+        the old generation while writing the new one is safe."""
+        old = self._read_manifest(table)
+        snap = self._new_snap()
         data_dir = os.path.join(self._tdir(table), "data", snap)
+        if bucket is not None:
+            cols, n = bucket
+            gen = (old["bucketed"]["generation"] + 1) if old["bucketed"] else 1
+            name = self._cat_name(table, gen)
+            self._drop_catalog(name)
+            (
+                df.write.bucketBy(n, *cols)
+                .sortBy(*cols)
+                .option("path", data_dir)
+                .mode("overwrite")
+                .format("parquet")
+                .saveAsTable(name)
+            )
+            self._write_manifest(
+                table,
+                {
+                    "snapshots": [],
+                    "schema": df.schema.json(),
+                    "bucketed": {
+                        "cols": list(cols),
+                        "n": n,
+                        "generation": gen,
+                        "location": data_dir,
+                    },
+                },
+            )
+            if old["bucketed"]:
+                self._drop_catalog(
+                    self._cat_name(table, old["bucketed"]["generation"])
+                )
+                shutil.rmtree(old["bucketed"]["location"], ignore_errors=True)
+            return name
         df.write.mode("overwrite").parquet(data_dir)
+        if old["bucketed"]:
+            self._drop_catalog(self._cat_name(table, old["bucketed"]["generation"]))
+            shutil.rmtree(old["bucketed"]["location"], ignore_errors=True)
         self._write_manifest(
-            table, {"snapshots": [snap], "schema": df.schema.json()}
+            table,
+            {"snapshots": [{"snap": snap, "tag": None}], "schema": df.schema.json(), "bucketed": None},
         )
         return snap
 
     def read(self, table: str, schema: StructType | None = None) -> DataFrame:
         manifest = self._read_manifest(table)
+        if manifest["bucketed"] is not None:
+            return self.spark.table(self._register_bucketed(table, manifest))
         if not manifest["snapshots"]:
             if schema is None:
                 raise FileNotFoundError(f"table {table} has no snapshots")
             return self.spark.createDataFrame([], schema)
         paths = [
-            os.path.join(self._tdir(table), "data", s)
+            os.path.join(self._tdir(table), "data", s["snap"])
             for s in manifest["snapshots"]
         ]
         return self.spark.read.parquet(*paths)
 
     def snapshots(self, table: str) -> list[str]:
-        return list(self._read_manifest(table)["snapshots"])
+        return [s["snap"] for s in self._read_manifest(table)["snapshots"]]
+
+    def drop_tagged(self, table: str, tags: set[str]) -> int:
+        """Remove snapshots whose tag is in ``tags`` (crash-recovery:
+        drop a half-committed round before re-running it). Returns the
+        number of snapshots dropped. No-op on bucketed tables."""
+        manifest = self._read_manifest(table)
+        if manifest["bucketed"] is not None or not manifest["snapshots"]:
+            return 0
+        keep = [s for s in manifest["snapshots"] if s["tag"] not in tags]
+        dropped = [s for s in manifest["snapshots"] if s["tag"] in tags]
+        if not dropped:
+            return 0
+        manifest["snapshots"] = keep
+        self._write_manifest(table, manifest)
+        for s in dropped:
+            shutil.rmtree(
+                os.path.join(self._tdir(table), "data", s["snap"]),
+                ignore_errors=True,
+            )
+        return len(dropped)
 
     def rollback_to(self, table: str, snapshot: str) -> None:
         """Drop snapshots committed after ``snapshot`` (time travel)."""
         manifest = self._read_manifest(table)
-        snaps = manifest["snapshots"]
+        if manifest["bucketed"] is not None:
+            raise ValueError("rollback_to is not supported for bucketed tables")
+        snaps = [s["snap"] for s in manifest["snapshots"]]
         if snapshot not in snaps:
             raise KeyError(snapshot)
-        manifest["snapshots"] = snaps[: snaps.index(snapshot) + 1]
+        manifest["snapshots"] = manifest["snapshots"][: snaps.index(snapshot) + 1]
         self._write_manifest(table, manifest)
 
     def drop(self, table: str) -> None:
+        manifest = self._read_manifest(table)
+        if manifest["bucketed"] is not None:
+            self._drop_catalog(
+                self._cat_name(table, manifest["bucketed"]["generation"])
+            )
         shutil.rmtree(self._tdir(table), ignore_errors=True)
