@@ -1,24 +1,29 @@
-"""Frontier-throughput bench: repeated identical micro-rounds of the
-crawl engine over the sf_bench pages fixture at a given core count.
+"""Frontier-throughput bench: repeated identical FULL micro-rounds of
+the crawl engine over the sf_bench pages fixture at a given core count.
 
-    python bench/run_rounds.py --cores 8  --rows 500000
-    python bench/run_rounds.py --cores 32 --rows 500000
+    python bench/run_rounds.py --cores 8  --rows 4000000
+    python bench/run_rounds.py --cores 32 --rows 4000000
 
-Protocol: seed the whole corpus as the frontier (seen pre-loaded with
-1/3 of urls so the anti-join does real work), run ONE untimed pass
-(spawns Python workers, compiles the AQE-chosen codegen for this data
-size), then ``--passes`` timed passes over identical state; report
-min/mean. One JSON line out — consumed by bench/scaling.py, which runs
-both core counts and writes BENCH/BASELINE.md with the north-rule
-scaling efficiency (throughput(4N) / (4 x throughput(N))).
+Protocol: mid-crawl state — 1/3 of the corpus is already seen, the
+other 2/3 is the frontier (the engine's invariant keeps the two
+disjoint). Each timed pass is ONE complete micro-round via
+``CrawlEngine.run_round``: robots broadcast join → skew-proof priority
+admission (WindowGroupLimit top-K per domain) → fetch join against the
+url-bucketed pages table → round_log/results/seen commits → frontier
+remainder-merge with deduped, seen-filtered discoveries → metrics.
+Politeness is the fixture's real budget (max 10/domain/round + crawl
+delays), so hot Zipf domains stall — the north-rule steady state.
 
-Modes:
-- ``open`` (default, headline): politeness wide open — raw
-  fetch-decision pipeline throughput (dedup window → seen anti-join →
-  robots join → priority window → fetch join → Arrow extraction →
-  parquet commit).
-- ``real``: fixture politeness (10/domain/round) — stall accounting,
-  not the headline (admitted work per round is politeness-bound).
+Every frontier URL receives a fetch decision each round (fetched /
+robots_denied / deferred-stall), so the headline metric is
+``n_frontier / wall`` = fetch-decision throughput; admitted-only
+throughput is reported alongside.
+
+One untimed warm-up pass precedes ``--passes`` timed passes over
+identical state; min/mean are reported as one JSON line — consumed by
+bench/scaling.py, which interleaves both core counts and writes
+BENCH/BASELINE.md with the north-rule scaling efficiency
+(throughput(4N) / (4 x throughput(N))).
 """
 
 from __future__ import annotations
@@ -44,6 +49,8 @@ FIXTURE_CACHE = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".bench_fixtures"
 )
 
+N_BUCKETS = 64  # fixed table layout across core counts (Iceberg bucket(N, url))
+
 
 def ensure_fixtures(rows: int, seed: int) -> str:
     d = os.path.join(FIXTURE_CACHE, f"rows{rows}_seed{seed}")
@@ -60,19 +67,15 @@ def ensure_fixtures(rows: int, seed: int) -> str:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", 32)))
-    ap.add_argument("--rows", type=int, default=500_000)
+    ap.add_argument("--rows", type=int, default=4_000_000)
     ap.add_argument("--passes", type=int, default=3)
     ap.add_argument("--seed", type=int, default=42)
-    ap.add_argument("--mode", choices=["open", "real"], default="open")
+    ap.add_argument("--max-depth", type=int, default=1,
+                    help="1 = rounds include outlink discovery + seen-filtered "
+                    "frontier merge (the full maintenance path)")
     ap.add_argument("--use-bloom", action="store_true")
     ap.add_argument("--salt-buckets", type=int, default=1)
-    ap.add_argument(
-        "--compute-only",
-        action="store_true",
-        help="evaluate the round plan to a noop sink (no parquet commit): "
-        "isolates the scalable compute path from the sandbox's single "
-        "shared disk, which real clusters don't contend on",
-    )
+    ap.add_argument("--no-aqe", action="store_true")
     args = ap.parse_args()
 
     fixture_dir = ensure_fixtures(args.rows, args.seed)
@@ -85,82 +88,81 @@ def main() -> None:
         app_name=f"crawl_bench_c{args.cores}",
         master=f"local[{args.cores}]",
         shuffle_partitions=args.cores * 2,
+        extra_conf=(
+            {"spark.sql.adaptive.enabled": "false"} if args.no_aqe else None
+        ),
     )
     spark.sparkContext.setLogLevel("ERROR")
 
     pages = spark.read.parquet(os.path.join(fixture_dir, "pages.parquet"))
     robots = spark.read.parquet(os.path.join(fixture_dir, "robots.parquet"))
-    if args.mode == "open":
-        robots = robots.withColumn("crawl_delay_s", F.lit(0.0)).withColumn(
-            "max_per_round", F.lit(2_000_000_000).cast("int")
-        )
 
     # store on tmpfs: frontier/seen scans + commits are in the timed
     # path; a real executor's table I/O scales with node count, the
     # sandbox's one virtio disk does not
     store_dir = os.path.join(
-        "/dev/shm/pixcrawler_bench",
-        f"rows{args.rows}_c{args.cores}_{args.mode}",
+        "/dev/shm/pixcrawler_bench", f"rows{args.rows}_c{args.cores}"
     )
     shutil.rmtree(store_dir, ignore_errors=True)
     store = TableStore(spark, store_dir)
+    # pages_ext is immutable per corpus: materialize once, share across
+    # invocations/core-counts (the WARC→columnar prep is a one-time cost)
+    static_store = TableStore(
+        spark, os.path.join("/dev/shm/pixcrawler_bench", f"static_rows{args.rows}")
+    )
 
     cfg = CrawlConfig(
         seeds=["placeholder"],  # frontier seeded directly below
-        max_depth=0,  # no expansion: identical work per pass
+        max_depth=args.max_depth,
         max_rounds=1,
         use_bloom=args.use_bloom,
         salt_buckets=args.salt_buckets,
+        n_buckets=N_BUCKETS,
     )
-    eng = CrawlEngine(spark, pages, robots, store, cfg)
-    all_urls = pages.select("url")
-
-    def reset_state() -> None:
-        for t in ("frontier", "seen", "results", "metrics"):
-            store.drop(t)
-        store.overwrite("frontier", eng.frontier_from(all_urls))
-        store.overwrite(
-            "seen",
-            all_urls.where(F.xxhash64("url") % 3 == 0).select(
-                "url", F.lit(0).cast("int").alias("completed_round")
-            ),
-        )
-
-    def one_pass():
-        if args.compute_only:
-            eng.plan_round(1)["results"].write.format("noop").mode(
-                "overwrite"
-            ).save()
-            return None
-        return eng.run_round(1)
+    eng = CrawlEngine(spark, pages, robots, store, cfg, static_store=static_store)
 
     # one-time extraction materialization (the WARC→columnar prep),
-    # timed separately — rounds reuse the pages_ext table
+    # timed separately — rounds reuse the bucketed pages_ext table
     t0 = time.monotonic()
     eng.ensure_pages_ext()
     extract_sec = time.monotonic() - t0
 
-    # untimed pass: python-worker spawn + size-specific AQE codegen
+    # mid-crawl state: seen = 1/3 of urls, frontier = the rest
+    # (disjoint — the engine's frontier invariant)
+    all_urls = pages.select("url")
+    seen_urls = all_urls.where(F.xxhash64("url") % 3 == 0)
+    frontier_urls = all_urls.where(F.xxhash64("url") % 3 != 0)
+    frontier_df = eng.frontier_from(frontier_urls)
+    seen_df = seen_urls.select(
+        "url", F.lit(0).cast("int").alias("completed_round")
+    )
+
+    def reset_state() -> None:
+        for t in ("frontier", "seen", "results", "metrics", "round_log"):
+            store.drop(t)
+        store.overwrite("frontier", frontier_df, bucket=(("url",), N_BUCKETS))
+        store.overwrite("seen", seen_df, bucket=(("url",), N_BUCKETS))
+
+    # untimed warm-up: python-worker spawn + size-specific AQE codegen
     reset_state()
-    one_pass()
+    eng.run_round(1)
 
     passes = []
     last_summary = None
     for _ in range(args.passes):
         reset_state()
         t0 = time.monotonic()
-        last_summary = one_pass()
+        last_summary = eng.run_round(1)
         passes.append(time.monotonic() - t0)
 
     shutil.rmtree(store_dir, ignore_errors=True)
-    n = args.rows  # every pass decides the full frontier (incl. seen skips)
+    n = last_summary["n_frontier"]  # decisions per pass (incl. deferrals)
     best = min(passes)
     mean = sum(passes) / len(passes)
     print(
         json.dumps(
             {
                 "cores": args.cores,
-                "mode": args.mode,
                 "rows": args.rows,
                 "urls": n,
                 "passes_sec": [round(p, 3) for p in passes],
@@ -168,8 +170,9 @@ def main() -> None:
                 "mean_sec": round(mean, 3),
                 "urls_per_sec_best": round(n / best, 1),
                 "urls_per_sec_mean": round(n / mean, 1),
+                "decided_per_sec_best": round(last_summary["n_decided"] / best, 1),
                 "extract_sec": round(extract_sec, 3),
-                "extract_urls_per_sec": round(n / extract_sec, 1),
+                "extract_urls_per_sec": round(args.rows / extract_sec, 1),
                 "round_summary": last_summary,
             }
         )

@@ -109,7 +109,14 @@ def anti_join_seen(
     no false negatives by construction.
     """
     if not use_bloom:
-        return candidates.join(seen.select(url_col), url_col, "left_anti")
+        # merge hint: the seen set is never broadcastable at frontier
+        # scale (the static planner would happily build a 10^10-row
+        # driver hash relation at the default threshold). With seen
+        # stored bucketed by url the SMJ scans it exchange-free and
+        # only the candidate delta shuffles.
+        return candidates.join(
+            seen.select(url_col).hint("merge"), url_col, "left_anti"
+        )
 
     spark = candidates.sparkSession
     bloom_bytes, m = build_bloom(seen, url_col, n_hint=seen_count_hint)

@@ -156,11 +156,15 @@ class CrawlEngine:
         robots_path: str | DataFrame,
         store: TableStore,
         config: CrawlConfig,
+        static_store: TableStore | None = None,
     ):
         config.validate()
         self.spark = spark
         self.config = config
         self.store = store
+        # pages_ext is immutable per corpus; an optional separate store
+        # lets benchmarks/multiple crawls share one materialization
+        self.static_store = static_store or store
         self._bucket = (("url",), config.n_buckets)
         self._cap_bound: int | None = None
         self.pages = (
@@ -214,11 +218,11 @@ class CrawlEngine:
         """Materialize the one-time extraction table, bucketed by url so
         every later fetch/expansion join scans it exchange-free
         (idempotent)."""
-        if not self.store.exists("pages_ext"):
-            self.store.overwrite(
+        if not self.static_store.exists("pages_ext"):
+            self.static_store.overwrite(
                 "pages_ext", self.extracted_pages(), bucket=self._bucket
             )
-        return self.store.read("pages_ext")
+        return self.static_store.read("pages_ext")
 
     def current_round(self) -> int:
         if not self.store.exists("metrics"):
@@ -390,7 +394,10 @@ class CrawlEngine:
             else self.extracted_pages()
         ).select("url", "outlinks")
         next_depth = (F.col("depth") + 1).cast("int")
-        discovered = links.join(fetched_urls, "url").select(
+        # merge hint: the fetched set grows with the politeness budget —
+        # a driver-built broadcast would serialize with round size; SMJ
+        # scans bucketed pages_ext exchange-free, fetched urls shuffle
+        discovered = links.join(fetched_urls.hint("merge"), "url").select(
             next_depth.alias("depth"), F.explode("outlinks").alias("url")
         )
         engine = _engine_expr(F.col("depth"), cfg.engines)
@@ -461,77 +468,106 @@ class CrawlEngine:
         log = self.store.read("round_log")
         _trace("decide (round_log commit)")
 
-        # 2. results/seen appends = scans of the committed log
+        # 2-3. MAINTAIN — four independent scans of the committed log,
+        # submitted as CONCURRENT Spark jobs (threads share the
+        # SparkSession; the scheduler interleaves their tasks). The
+        # frontier merge does not wait for the seen append: it filters
+        # discoveries against seen-as-of-last-round PLUS the log's
+        # recorded urls — set-identical to seen-after-append, with the
+        # bucketed seen scan still exchange-free (a union would break
+        # bucketing and re-shuffle the whole seen set).
         recorded = log.where(~F.col("will_retry"))
-        self.store.append(
-            "results",
-            recorded.select(
-                "url", "domain", "warc_ts", "fetch_decision", "depth",
-                "round", "partition_id",
-            ),
-            tag=f"round-{round_no}",
-        )
-        _trace("results append")
-        self.store.append(
-            "seen",
-            recorded.select(
-                "url", F.lit(round_no).cast("int").alias("completed_round")
-            ),
-            bucket=self._bucket,
-        )
-        _trace("seen append")
-
-        # 3. next frontier = (frontier ANTI log) ⊕ best(discoveries ∪
-        #    retries, seen-filtered). All joins hit bucketed tables on
-        #    url; only per-round deltas shuffle.
+        # resolve reads + footer count before any concurrent write
         frontier = self.store.read("frontier", FRONTIER_SCHEMA)
-        # count before the overwrite below invalidates this generation
-        n_frontier = frontier.count()
-        remainder = frontier.join(log.select("url"), "url", "left_anti")
-        delta = self._discovered_frontier(log, round_no).unionByName(
-            self._retry_frontier(log, round_no)
+        n_frontier = self.store.count("frontier")
+        seen_prev = self.store.read("seen", SEEN_SCHEMA).where(
+            F.col("completed_round") < round_no
         )
-        wdup = Window.partitionBy("url").orderBy(*_best_order())
-        delta_best = (
-            delta.withColumn("_rn", F.row_number().over(wdup))
-            .where(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-        seen = self.store.read("seen", SEEN_SCHEMA).where(
-            F.col("completed_round") <= round_no
-        )
-        delta_new = anti_join_seen(delta_best, seen, use_bloom=cfg.use_bloom)
-        next_frontier = self._merge_best(remainder, delta_new)
-        self.store.overwrite("frontier", next_frontier, bucket=self._bucket)
-        _trace("frontier merge commit")
 
-        # 4. metrics (per-partition + per-round); n_stalled comes from
-        #    cheap committed-table counts
-        per_part = (
-            log.groupBy("partition_id")
-            .agg(
-                F.count(F.lit(1)).alias("n_processed"),
-                F.sum(
-                    F.when(F.col("fetch_decision") == "robots_denied", 1).otherwise(0)
-                ).alias("n_robots_denied"),
-                F.sum(
-                    F.when(
-                        (F.col("fetch_decision") == "fetched")
-                        & (~F.col("will_retry")),
-                        1,
-                    ).otherwise(0)
-                ).alias("n_fetched"),
+        def job_results() -> None:
+            self.store.append(
+                "results",
+                recorded.select(
+                    "url", "domain", "warc_ts", "fetch_decision", "depth",
+                    "round", "partition_id",
+                ),
+                tag=f"round-{round_no}",
             )
-            .collect()
-        )
-        _trace("metrics collect")
+
+        def job_seen() -> None:
+            self.store.append(
+                "seen",
+                recorded.select(
+                    "url", F.lit(round_no).cast("int").alias("completed_round")
+                ),
+                bucket=self._bucket,
+            )
+
+        def job_frontier() -> None:
+            # merge hint: at scale the decided log is politeness-bounded
+            # but still too big to broadcast; SMJ scans the bucketed
+            # frontier exchange-free and shuffles only the log urls
+            remainder = frontier.join(
+                log.select("url").hint("merge"), "url", "left_anti"
+            )
+            delta = self._discovered_frontier(log, round_no).unionByName(
+                self._retry_frontier(log, round_no)
+            )
+            wdup = Window.partitionBy("url").orderBy(*_best_order())
+            delta_best = (
+                delta.withColumn("_rn", F.row_number().over(wdup))
+                .where(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            delta_new = anti_join_seen(
+                delta_best, seen_prev, use_bloom=cfg.use_bloom
+            ).join(recorded.select("url").hint("merge"), "url", "left_anti")
+            next_frontier = self._merge_best(remainder, delta_new)
+            self.store.overwrite("frontier", next_frontier, bucket=self._bucket)
+
+        def job_metrics():
+            return (
+                log.groupBy("partition_id")
+                .agg(
+                    F.count(F.lit(1)).alias("n_processed"),
+                    F.sum(
+                        F.when(
+                            F.col("fetch_decision") == "robots_denied", 1
+                        ).otherwise(0)
+                    ).alias("n_robots_denied"),
+                    F.sum(
+                        F.when(
+                            (F.col("fetch_decision") == "fetched")
+                            & (~F.col("will_retry")),
+                            1,
+                        ).otherwise(0)
+                    ).alias("n_fetched"),
+                    F.sum(F.when(F.col("will_retry"), 1).otherwise(0)).alias(
+                        "n_retrying"
+                    ),
+                )
+                .collect()
+            )
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            f_results = pool.submit(job_results)
+            f_seen = pool.submit(job_seen)
+            f_frontier = pool.submit(job_frontier)
+            f_metrics = pool.submit(job_metrics)
+            f_results.result()
+            f_seen.result()
+            f_frontier.result()
+            per_part = f_metrics.result()
+        _trace("maintain (4 concurrent jobs)")
+
+        # 4. per-round summary + metrics table commit
         wall = time.monotonic() - t0
         n_decided = sum(r["n_processed"] for r in per_part)
         n_denied = sum(r["n_robots_denied"] for r in per_part)
         n_fetched_total = sum(r["n_fetched"] for r in per_part)
-        n_retrying = int(
-            log.where(F.col("will_retry")).count()
-        )
+        n_retrying = int(sum(r["n_retrying"] for r in per_part))
         n_processed = n_decided - n_retrying
         n_stalled = n_frontier - n_decided  # politeness deferrals
         from pixcrawler_spark.schemas import METRICS_SCHEMA
@@ -552,8 +588,9 @@ class CrawlEngine:
         ] or [
             (round_no, -1, int(n_frontier), 0, int(n_stalled), 0, 0, float(wall), 0.0)
         ]
-        self.store.append(
-            "metrics", self.spark.createDataFrame(metrics_rows, METRICS_SCHEMA)
+        # tiny telemetry commit: pyarrow write on the driver, no Spark job
+        self.store.append_local(
+            "metrics", metrics_rows, METRICS_SCHEMA, tag=f"round-{round_no}"
         )
         return {
             "round": round_no,

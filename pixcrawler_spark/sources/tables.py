@@ -35,6 +35,7 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 TESTDATA_TABLES = (
@@ -178,7 +179,12 @@ class TableStore:
             name = self._register_bucketed(table, manifest)
             b = manifest["bucketed"]
             (
-                df.write.bucketBy(b["n"], *b["cols"])
+                # repartition to the bucket layout first: each reducer
+                # then owns exactly one bucket and writes ONE file
+                # (otherwise every task writes a file per bucket —
+                # tasks*N tiny files per commit)
+                df.repartition(b["n"], *[F.col(c) for c in b["cols"]])
+                .write.bucketBy(b["n"], *b["cols"])
                 .sortBy(*b["cols"])
                 .mode("append")
                 .format("parquet")
@@ -211,7 +217,8 @@ class TableStore:
             name = self._cat_name(table, gen)
             self._drop_catalog(name)
             (
-                df.write.bucketBy(n, *cols)
+                df.repartition(n, *[F.col(c) for c in cols])
+                .write.bucketBy(n, *cols)
                 .sortBy(*cols)
                 .option("path", data_dir)
                 .mode("overwrite")
@@ -260,6 +267,69 @@ class TableStore:
             for s in manifest["snapshots"]
         ]
         return self.spark.read.parquet(*paths)
+
+    def append_local(self, table: str, rows: list[tuple], schema: StructType,
+                     tag: str | None = None) -> str:
+        """Commit a tiny driver-side row set as a snapshot WITHOUT a
+        Spark job (pyarrow write + manifest flip) — for per-round
+        metrics/telemetry tables where a full job would cost more
+        driver latency than the data is worth. Readers see an ordinary
+        parquet snapshot."""
+        import pyarrow as pa
+        import pyarrow.parquet as papq
+
+        manifest = self._read_manifest(table)
+        if manifest["bucketed"] is not None:
+            raise ValueError("append_local not supported for bucketed tables")
+        snap = self._new_snap()
+        data_dir = os.path.join(self._tdir(table), "data", snap)
+        os.makedirs(data_dir, exist_ok=True)
+        arrays, names = [], []
+        for i, f in enumerate(schema.fields):
+            vals = [r[i] for r in rows]
+            t = f.dataType.simpleString()
+            pa_type = {
+                "int": pa.int32(), "bigint": pa.int64(),
+                "double": pa.float64(), "string": pa.string(),
+                "boolean": pa.bool_(),
+            }.get(t)
+            arrays.append(pa.array(vals, pa_type))
+            names.append(f.name)
+        papq.write_table(
+            pa.table(dict(zip(names, arrays))),
+            os.path.join(data_dir, "part-00000.parquet"),
+        )
+        manifest["snapshots"].append({"snap": snap, "tag": tag})
+        manifest["schema"] = schema.json()
+        self._write_manifest(table, manifest)
+        return snap
+
+    def count(self, table: str) -> int:
+        """Exact row count from parquet footers (driver-side metadata
+        read, no Spark job — the Iceberg manifest-stats analog)."""
+        import pyarrow.parquet as pq
+
+        manifest = self._read_manifest(table)
+        if manifest["bucketed"] is not None:
+            dirs = [manifest["bucketed"]["location"]]
+        else:
+            dirs = [
+                os.path.join(self._tdir(table), "data", s["snap"])
+                for s in manifest["snapshots"]
+            ]
+        total = 0
+        for d in dirs:
+            if not os.path.isdir(d):
+                continue
+            for f in os.listdir(d):
+                if f.endswith(".parquet") or (
+                    f.startswith("part-") and not f.endswith(".crc")
+                ):
+                    try:
+                        total += pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
+                    except Exception:
+                        pass
+        return total
 
     def snapshots(self, table: str) -> list[str]:
         return [s["snap"] for s in self._read_manifest(table)["snapshots"]]
