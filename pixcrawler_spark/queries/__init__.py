@@ -12,5 +12,6 @@ from pixcrawler_spark.queries import analytics as _analytics  # noqa: F401
 from pixcrawler_spark.queries import pipeline as _pipeline  # noqa: F401
 from pixcrawler_spark.queries import crawlops as _crawlops  # noqa: F401
 from pixcrawler_spark.queries import advanced as _advanced  # noqa: F401
+from pixcrawler_spark.queries import scalepath as _scalepath  # noqa: F401
 
 __all__ = ["REGISTRY", "Query", "register"]
