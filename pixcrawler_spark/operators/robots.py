@@ -1,0 +1,132 @@
+"""robots.txt parsing as a columnar operator: raw robots bodies →
+per-domain rules table (disallow_prefixes, crawl_delay_s).
+
+The reference never consults robots (verified by repo-wide grep —
+SURVEY.md §2.9); the north rule requires it, so the grammar here is
+the de-facto standard subset (RFC 9309 §2 simplified):
+
+- case-insensitive field names; ``#`` starts a comment to end-of-line;
+- a ``User-agent:`` line opens a group; consecutive UA lines share the
+  group; we honor the ``*`` group (this engine's UA);
+- ``Disallow:`` paths within the ``*`` group become prefix rules
+  (empty Disallow = allow-all, contributes nothing);
+- ``Crawl-delay:`` within the ``*`` group sets the domain's token
+  bucket delay (non-standard but ubiquitous).
+
+The parse is pure JVM columnar code — split/filter/transform/aggregate
+higher-order functions over the line array, whole-stage-codegen'd, no
+Python. This matters because at 10^10-URL scale the robots corpus is
+~10^8 bodies: a row-at-a-time Python parser would be the pipeline's
+slowest stage.
+
+Output feeds operators/politeness.with_robots_decision unchanged:
+(domain, disallow_prefixes array<string>, crawl_delay_s double).
+Paths are normalized to the prefix form politeness compares against
+(leading '/' stripped, since path_expr extracts 'p/...' without it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _clean_lines(body_col: Column) -> Column:
+    """Body text → array of trimmed, comment-stripped, non-empty lines."""
+    lines = F.split(body_col, r"\r?\n")
+    no_comment = F.transform(
+        lines, lambda l: F.trim(F.regexp_replace(l, r"#.*$", ""))
+    )
+    return F.filter(no_comment, lambda l: l != "")
+
+
+def _star_group(lines_col: Column) -> Column:
+    """Keep only lines belonging to the ``User-agent: *`` group(s).
+
+    Directive lines are tagged with the most recent user-agent above
+    them. A group's UA set is every consecutive UA line immediately
+    above its directives, so a directive belongs to ``*`` iff scanning
+    upward through UA lines (skipping none) finds ``*`` before a
+    directive. Implemented as a running aggregate over (line, state):
+    state holds (in_star, saw_directive_since_ua) and an accumulator
+    array of the kept directive lines.
+    """
+    is_ua = lambda l: F.lower(l).rlike(r"^user-agent\s*:")
+    ua_val = lambda l: F.trim(F.regexp_replace(l, r"(?i)^user-agent\s*:", ""))
+    # fold: acc = struct(kept: array<string>, in_star: boolean,
+    #                    in_ua_block: boolean)
+    init = F.struct(
+        F.array().cast("array<string>").alias("kept"),
+        F.lit(False).alias("in_star"),
+        F.lit(False).alias("in_ua_block"),
+    )
+
+    def step(acc, l):
+        new_star_block = F.when(
+            acc["in_ua_block"], acc["in_star"] | (ua_val(l) == "*")
+        ).otherwise(ua_val(l) == "*")
+        return (
+            F.when(
+                is_ua(l),
+                F.struct(
+                    acc["kept"].alias("kept"),
+                    new_star_block.alias("in_star"),
+                    F.lit(True).alias("in_ua_block"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.when(
+                        acc["in_star"], F.concat(acc["kept"], F.array(l))
+                    ).otherwise(acc["kept"]).alias("kept"),
+                    acc["in_star"].alias("in_star"),
+                    F.lit(False).alias("in_ua_block"),
+                )
+            )
+        )
+
+    return F.aggregate(lines_col, init, step, lambda acc: acc["kept"])
+
+
+def parse_robots(
+    df: DataFrame, domain_col: str = "domain", body_col: str = "robots_txt"
+) -> DataFrame:
+    """Raw robots bodies → (domain, disallow_prefixes, crawl_delay_s).
+
+    Null/empty bodies produce allow-all (empty prefixes, null delay).
+    """
+    star_lines = _star_group(_clean_lines(F.coalesce(F.col(body_col), F.lit(""))))
+    tagged = df.select(
+        F.col(domain_col).alias("domain"), star_lines.alias("_lines")
+    )
+    dis_raw = F.filter(
+        F.col("_lines"), lambda l: F.lower(l).rlike(r"^disallow\s*:")
+    )
+    dis_paths = F.filter(
+        F.transform(
+            dis_raw,
+            lambda l: F.regexp_replace(
+                F.trim(F.regexp_replace(l, r"(?i)^disallow\s*:", "")),
+                r"^/",
+                "",
+            ),
+        ),
+        lambda p: p != "",
+    )
+    delays = F.filter(
+        F.col("_lines"), lambda l: F.lower(l).rlike(r"^crawl-delay\s*:")
+    )
+    delay = F.element_at(
+        F.transform(
+            delays,
+            lambda l: F.trim(F.regexp_replace(l, r"(?i)^crawl-delay\s*:", "")).cast(
+                "double"
+            ),
+        ),
+        1,
+    )
+    return tagged.select(
+        "domain",
+        dis_paths.alias("disallow_prefixes"),
+        delay.alias("crawl_delay_s"),
+    )

@@ -131,6 +131,46 @@ def crawl_priority_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "crawl_robots_parse",
+    oracle="""
+    WITH src AS (SELECT DISTINCT source FROM documents)
+    SELECT source AS domain,
+           CAST(2 AS BIGINT) AS n_prefixes,
+           'private' || CAST(length(source) AS VARCHAR) || '/' AS first_prefix,
+           CAST((length(source) % 4) AS DOUBLE) / 2 AS crawl_delay_s
+    FROM src
+    """,
+    doc="robots.txt parsing operator (operators/robots.py, RFC 9309 "
+    "subset, pure JVM columnar): bodies are synthesized per domain by a "
+    "deterministic rule, the engine PARSES them, and the oracle states "
+    "the expected parse from the same rule — absent in the reference, "
+    "required by the north rule.",
+)
+def crawl_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pixcrawler_spark.operators.robots import parse_robots
+
+    d = load_table(spark, sf_dir, "documents").select("source").distinct()
+    # deterministic synthetic body per domain: 2 disallow rules + a
+    # crawl-delay derived from the domain name length
+    body = F.concat(
+        F.lit("# synthetic\nUser-agent: googlebot\nDisallow: /\n"),
+        F.lit("User-agent: *\nDisallow: /private"),
+        F.length("source").cast("string"),
+        F.lit("/\nDisallow: /tmp/\nCrawl-delay: "),
+        (F.length("source") % 4).cast("double") / 2,
+    )
+    parsed = parse_robots(
+        d.select(F.col("source").alias("domain"), body.alias("robots_txt"))
+    )
+    return parsed.select(
+        "domain",
+        F.size("disallow_prefixes").cast("long").alias("n_prefixes"),
+        F.element_at("disallow_prefixes", 1).alias("first_prefix"),
+        "crawl_delay_s",
+    )
+
+
+@register(
     "crawl_seen_anti_join",
     oracle="""
     WITH frontier AS (

@@ -1,0 +1,111 @@
+"""robots.txt parser tests: RFC 9309 subset semantics (star group
+selection, comments, crawl-delay, multi-UA groups, empty disallow),
+checked against a straight-line Python oracle."""
+
+from __future__ import annotations
+
+from pixcrawler_spark.operators.robots import parse_robots
+
+
+def _oracle(body: str | None) -> tuple[list[str], float | None]:
+    prefixes: list[str] = []
+    delay: float | None = None
+    in_star = False
+    in_ua_block = False
+    for raw in (body or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        low = line.lower()
+        if low.startswith("user-agent"):
+            ua = line.split(":", 1)[1].strip() if ":" in line else ""
+            if in_ua_block:
+                in_star = in_star or ua == "*"
+            else:
+                in_star = ua == "*"
+            in_ua_block = True
+            continue
+        in_ua_block = False
+        if not in_star:
+            continue
+        if low.startswith("disallow") and ":" in line:
+            p = line.split(":", 1)[1].strip().lstrip("/")
+            if p:
+                prefixes.append(p)
+        elif low.startswith("crawl-delay") and ":" in line:
+            try:
+                d = float(line.split(":", 1)[1].strip())
+                if delay is None:
+                    delay = d
+            except ValueError:
+                pass
+    return prefixes, delay
+
+
+BODIES = {
+    "simple.example": "User-agent: *\nDisallow: /private/\nCrawl-delay: 2",
+    "other-ua.example": "User-agent: googlebot\nDisallow: /\n"
+    "User-agent: *\nDisallow: /tmp/",
+    "multi-ua-group.example": "User-agent: googlebot\nUser-agent: *\n"
+    "Disallow: /shared/\nCrawl-delay: 0.5",
+    "comments.example": "# hello\nUser-agent: * # us\nDisallow: /a/ # nope\n\n"
+    "Disallow:\nDisallow: /b/",
+    "no-star.example": "User-agent: googlebot\nDisallow: /g/",
+    "empty.example": "",
+    "null.example": None,
+    "two-groups.example": "User-agent: *\nDisallow: /one/\n"
+    "User-agent: bing\nDisallow: /two/\n"
+    "User-agent: *\nCrawl-delay: 3\nDisallow: /three/",
+    "case.example": "USER-AGENT: *\nDISALLOW: /Upper/\nCRAWL-DELAY: 1.5",
+}
+
+
+def test_parse_matches_oracle(spark):
+    df = spark.createDataFrame(
+        [(d, b) for d, b in BODIES.items()], "domain string, robots_txt string"
+    )
+    got = {
+        r["domain"]: (list(r["disallow_prefixes"]), r["crawl_delay_s"])
+        for r in parse_robots(df).collect()
+    }
+    for domain, body in BODIES.items():
+        assert got[domain] == _oracle(body), domain
+
+
+def test_feeds_politeness(spark):
+    """Parsed rules drive with_robots_decision unchanged."""
+    from pyspark.sql import functions as F
+
+    from pixcrawler_spark.operators import politeness as pol
+
+    rules = parse_robots(
+        spark.createDataFrame(
+            [("d.example", "User-agent: *\nDisallow: /private/")],
+            "domain string, robots_txt string",
+        )
+    ).withColumn("max_per_round", F.lit(10).cast("int"))
+    cand = spark.createDataFrame(
+        [
+            ("https://d.example/private/x", "d.example"),
+            ("https://d.example/public/y", "d.example"),
+        ],
+        "url string, domain string",
+    )
+    out = {
+        r["url"]: r["robots_denied"]
+        for r in pol.with_robots_decision(cand, rules).collect()
+    }
+    assert out == {
+        "https://d.example/private/x": True,
+        "https://d.example/public/y": False,
+    }
+
+
+def test_no_python_in_plan(spark):
+    """The parse must be whole-stage-codegen JVM code (no Python UDFs)."""
+    df = spark.createDataFrame(
+        [("d.example", "User-agent: *\nDisallow: /p/")],
+        "domain string, robots_txt string",
+    )
+    plan = parse_robots(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
