@@ -32,9 +32,12 @@ HEADLINE = [
     "dedup_ngram_jaccard_pairs",
     "dedup_simhash",
     "ann_cosine_topk",
+    "ann_srp_lsh_topk",
     "text_stats",
+    "text_bottomk_sketch",
     "crawl_fetch_decision",
     "crawl_politeness_admission",
+    "crawl_robots_parse",
     "crawl_seen_anti_join",
 ]
 

@@ -42,6 +42,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # that scales with executor count. tmpfs is the honest stand-in (the
 # 128 GiB RAM budget covers bench shuffle volumes comfortably).
 os.environ.setdefault("SPARK_LOCAL_DIRS", "/dev/shm/spark-local")
+# local-mode executor shares the driver heap: size it for bench-scale
+# sorts/joins (a real cluster gives each executor its own heap)
+os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
 
 from pyspark.sql import functions as F
 

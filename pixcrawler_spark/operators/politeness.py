@@ -43,13 +43,22 @@ def path_expr(url_col: str = "url"):
 
 
 def with_robots_decision(
-    candidates: DataFrame, robots: DataFrame, url_col: str = "url"
+    candidates: DataFrame,
+    robots: DataFrame,
+    url_col: str = "url",
+    broadcast: bool = False,
 ) -> DataFrame:
-    """Broadcast-join robots rules; append ``robots_denied`` bool and the
+    """Join robots rules; append ``robots_denied`` bool and the
     domain's politeness parameters (defaults for unknown domains).
 
     The prefix test is ``exists(disallow_prefixes, p -> startswith(path, p))``
     — a JVM higher-order function over a tiny array, no UDF.
+
+    ``broadcast=False`` (default) uses a merge-hinted SMJ: at frontier
+    scale the robots table is ~1 row per domain (10^8 at 10^10 urls) —
+    too big to build on the driver, and the engine only ever joins it
+    against enqueue-time deltas, which are politeness-bounded. Pass
+    ``broadcast=True`` only when robots is known to be a small dim.
     """
     r = robots.select(
         "domain",
@@ -57,7 +66,8 @@ def with_robots_decision(
         F.col("crawl_delay_s").alias("_delay"),
         F.col("max_per_round").alias("_max_round"),
     )
-    joined = candidates.join(F.broadcast(r), "domain", "left")
+    r = F.broadcast(r) if broadcast else r.hint("merge")
+    joined = candidates.join(r, "domain", "left")
     path = path_expr(url_col)
     denied = F.when(
         F.col("_dis").isNotNull(),

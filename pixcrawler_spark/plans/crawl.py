@@ -187,7 +187,7 @@ class CrawlEngine:
         cfg = self.config
         depth = F.lit(0)
         engine = _engine_expr(depth, cfg.engines)
-        return urls_df.select("url").dropDuplicates(["url"]).select(
+        rows = urls_df.select("url").dropDuplicates(["url"]).select(
             "url",
             pol.domain_expr("url").alias("domain"),
             depth.cast("int").alias("depth"),
@@ -195,6 +195,14 @@ class CrawlEngine:
             _score_expr(engine).alias("score"),
             F.lit(0).cast("int").alias("retry_count"),
             F.lit(0).cast("int").alias("discovered_round"),
+        )
+        return self._with_politeness(rows)
+
+    def _with_politeness(self, rows: DataFrame) -> DataFrame:
+        """Enqueue-time robots/politeness stamp (see FRONTIER_SCHEMA
+        note): joined per delta, never per full frontier."""
+        return pol.with_robots_decision(rows, self.robots).select(
+            *[f.name for f in FRONTIER_SCHEMA.fields]
         )
 
     def _seed_frontier(self) -> DataFrame:
@@ -262,12 +270,13 @@ class CrawlEngine:
         the retry budget. Politeness-stalled rows are absent by
         design (they stay in the frontier).
 
-        The plan is linear except the denied/admitted split, whose
-        shared prefix is only scan + broadcast join (cheap to run
-        twice; no shuffle, no window)."""
+        No robots join here: politeness columns are denormalized into
+        the frontier at enqueue time (FRONTIER_SCHEMA note), so the
+        plan is linear except the denied/admitted split, whose shared
+        prefix is only the frontier scan (cheap to run twice; no
+        shuffle, no join, no window)."""
         cfg = self.config
-        frontier = self.store.read("frontier", FRONTIER_SCHEMA)
-        ruled = pol.with_robots_decision(frontier, self.robots)
+        ruled = self.store.read("frontier", FRONTIER_SCHEMA)
 
         denied = ruled.where(F.col("robots_denied"))
         allowed = ruled.where(~F.col("robots_denied"))
@@ -331,6 +340,11 @@ class CrawlEngine:
             "engine",
             "score",
             "retry_count",
+            # politeness stamp carried through so retry re-enqueues
+            # need no robots re-join
+            "robots_denied",
+            "crawl_delay_s",
+            "max_per_round",
             "warc_ts",
             "fetch_decision",
             "will_retry",
@@ -376,6 +390,9 @@ class CrawlEngine:
             _score_expr(retry_engine).alias("score"),
             next_retry.cast("int").alias("retry_count"),
             F.lit(round_no).cast("int").alias("discovered_round"),
+            "robots_denied",
+            "crawl_delay_s",
+            "max_per_round",
         )
 
     def _discovered_frontier(self, log: DataFrame, round_no: int) -> DataFrame:
@@ -401,6 +418,8 @@ class CrawlEngine:
             next_depth.alias("depth"), F.explode("outlinks").alias("url")
         )
         engine = _engine_expr(F.col("depth"), cfg.engines)
+        # politeness stamp happens later, on the deduped seen-filtered
+        # delta (run_round.job_frontier) — the smallest possible set
         return discovered.select(
             "url",
             pol.domain_expr("url").alias("domain"),
@@ -430,6 +449,9 @@ class CrawlEngine:
                     F.col("domain"),
                     F.col("score"),
                     F.col("retry_count"),
+                    F.col("robots_denied"),
+                    F.col("crawl_delay_s"),
+                    F.col("max_per_round"),
                 ).alias(f"_k_{side}"),
             )
 
@@ -443,6 +465,9 @@ class CrawlEngine:
             best["score"].alias("score"),
             best["retry_count"].alias("retry_count"),
             best["discovered_round"].alias("discovered_round"),
+            best["robots_denied"].alias("robots_denied"),
+            best["crawl_delay_s"].alias("crawl_delay_s"),
+            best["max_per_round"].alias("max_per_round"),
         )
 
     def run_round(self, round_no: int) -> dict:
@@ -511,7 +536,9 @@ class CrawlEngine:
                 log.select("url").hint("merge"), "url", "left_anti"
             )
             delta = self._discovered_frontier(log, round_no).unionByName(
-                self._retry_frontier(log, round_no)
+                self._retry_frontier(log, round_no).drop(
+                    "robots_denied", "crawl_delay_s", "max_per_round"
+                )
             )
             wdup = Window.partitionBy("url").orderBy(*_best_order())
             delta_best = (
@@ -522,7 +549,11 @@ class CrawlEngine:
             delta_new = anti_join_seen(
                 delta_best, seen_prev, use_bloom=cfg.use_bloom
             ).join(recorded.select("url").hint("merge"), "url", "left_anti")
-            next_frontier = self._merge_best(remainder, delta_new)
+            # enqueue-time politeness stamp on the smallest set: the
+            # urls that actually enter the frontier this round
+            next_frontier = self._merge_best(
+                remainder, self._with_politeness(delta_new)
+            )
             self.store.overwrite("frontier", next_frontier, bucket=self._bucket)
 
         def job_metrics():

@@ -48,7 +48,14 @@ ROBOTS_SCHEMA = StructType(
 
 # The frontier: the central work table (reference analog: the
 # (category, keyword, engine, variation, offset, retry) work tuple,
-# backend/services/crawl_job.py:482-513).
+# backend/services/crawl_job.py:482-513). Politeness columns
+# (robots_denied, crawl_delay_s, max_per_round) are DENORMALIZED into
+# the frontier at enqueue time: at 10^10-URL scale the robots table is
+# ~10^8 rows — joinable against the per-round discovery delta, but a
+# per-round join against the whole frontier would either broadcast an
+# unbroadcastable build side or re-shuffle the frontier. Real crawler
+# frontiers (Mercator/Heritrix queues) carry their politeness key the
+# same way; a robots refresh is a periodic frontier migration job.
 FRONTIER_SCHEMA = StructType(
     [
         StructField("url", StringType(), False),
@@ -58,6 +65,9 @@ FRONTIER_SCHEMA = StructType(
         StructField("score", DoubleType(), False),
         StructField("retry_count", IntegerType(), False),
         StructField("discovered_round", IntegerType(), False),
+        StructField("robots_denied", BooleanType(), False),
+        StructField("crawl_delay_s", DoubleType(), False),
+        StructField("max_per_round", IntegerType(), False),
     ]
 )
 
