@@ -70,6 +70,72 @@ def windowed_lang_metrics(
     )
 
 
+def stream_unseen_urls(pages: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming URL-seen set: stateful ``dropDuplicates`` on url with
+    a watermark bound on state (the streaming analog of the batch
+    engine's seen anti-join — a url seen in any earlier micro-batch
+    within the watermark horizon is suppressed)."""
+    return pages.withWatermark("warc_ts", watermark).dropDuplicates(["url"])
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: per-domain politeness token bucket
+# ---------------------------------------------------------------------------
+# State per domain: tokens admitted so far. Each micro-batch admits at
+# most (capacity - used) candidate urls per domain, ordered by
+# (depth, url) — the streaming realization of the batch engine's
+# window-ranked admission (operators/politeness.py), with state that
+# persists ACROSS batches via applyInPandasWithState. Timed-out state
+# resets the bucket (a crawl-delay refill).
+
+TOKEN_BUCKET_OUTPUT_SCHEMA = (
+    "domain string, url string, depth int, admitted boolean"
+)
+TOKEN_BUCKET_STATE_SCHEMA = "used int"
+
+
+def _token_bucket_fn(capacity: int):
+    import pandas as pd  # local import: executors only
+
+    def fn(key, pdf_iter, state):
+        (domain,) = key
+        used = state.get[0] if state.exists else 0
+        out = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["depth", "url"])
+            for _, row in pdf.iterrows():
+                admit = used < capacity
+                if admit:
+                    used += 1
+                out.append((domain, row["url"], int(row["depth"]), admit))
+        state.update((used,))
+        yield pd.DataFrame(
+            out, columns=["domain", "url", "depth", "admitted"]
+        )
+
+    return fn
+
+
+def politeness_bucket_stream(
+    candidates: DataFrame, capacity: int = 10
+) -> DataFrame:
+    """Streaming per-domain token-bucket admission: at most ``capacity``
+    urls admitted per domain across the stream's lifetime.
+    candidates: (url, domain, depth). A production bucket refills via
+    an event-time timeout (EventTimeTimeout + watermark) — kept
+    timeout-free here so bounded drains (availableNow) terminate
+    without spinning state-cleanup batches."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return candidates.groupBy("domain").applyInPandasWithState(
+        _token_bucket_fn(capacity),
+        outputStructType=TOKEN_BUCKET_OUTPUT_SCHEMA,
+        stateStructType=TOKEN_BUCKET_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_available_now(
     df: DataFrame, out_dir: str, checkpoint_dir: str, output_mode: str = "append"
 ) -> None:

@@ -70,3 +70,78 @@ def test_windowed_metrics_with_watermark(spark, pages_stream_dir):
         got.agg(F.sum("n_pages")).collect()[0][0] == batch.count()
     )
     assert got.where(F.col("window_start") > F.col("window_end")).count() == 0
+
+
+def test_stream_unseen_urls_dedup(spark, tmp_path):
+    """Stateful streaming dedup: a url arriving in a later micro-batch
+    is suppressed (the streaming seen-set)."""
+    import pyarrow as pa
+
+    from pixcrawler_spark.streaming.ingest import stream_unseen_urls
+
+    d = tmp_path / "dup_stream"
+    d.mkdir()
+    ts = pa.array(
+        [1704067200000000 + i for i in range(4)], pa.timestamp("us")
+    )
+    mk = lambda urls: pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": ts[: len(urls)],
+            "html": pa.array([b"x"] * len(urls), pa.binary()),
+            "text": pa.array(["x"] * len(urls), pa.string()),
+            "lang": pa.array(["en"] * len(urls), pa.string()),
+        }
+    )
+    pq.write_table(mk(["u1", "u2", "u3", "u1"]), str(d / "b0.parquet"))
+    pq.write_table(mk(["u2", "u4"]), str(d / "b1.parquet"))
+    src = stream_pages(spark, str(d))
+    out = str(tmp_path / "unseen_out")
+    run_available_now(
+        stream_unseen_urls(src).select("url"), out, str(tmp_path / "ckpt_u")
+    )
+    urls = sorted(r["url"] for r in spark.read.parquet(out).collect())
+    assert urls == ["u1", "u2", "u3", "u4"]
+
+
+def test_politeness_bucket_stream_state(spark, tmp_path):
+    """applyInPandasWithState token bucket: per-domain admissions are
+    capacity-bounded ACROSS micro-batches (state persists)."""
+    import pyarrow as pa
+
+    from pixcrawler_spark.streaming.ingest import politeness_bucket_stream
+
+    d = tmp_path / "cand_stream"
+    d.mkdir()
+    mk = lambda rows: pa.table(
+        {
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "domain": pa.array([r[1] for r in rows], pa.string()),
+            "depth": pa.array([r[2] for r in rows], pa.int32()),
+        }
+    )
+    # batch 0: 3 candidates for dA, 1 for dB; batch 1: 2 more for dA
+    pq.write_table(
+        mk([("a1", "dA", 0), ("a2", "dA", 0), ("a3", "dA", 1), ("b1", "dB", 0)]),
+        str(d / "b0.parquet"),
+    )
+    pq.write_table(mk([("a4", "dA", 0), ("a5", "dA", 2)]), str(d / "b1.parquet"))
+    src = (
+        spark.readStream.schema("url string, domain string, depth int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    out = str(tmp_path / "bucket_out")
+    run_available_now(
+        politeness_bucket_stream(src, capacity=3), out, str(tmp_path / "ckpt_b")
+    )
+    got = {
+        r["url"]: r["admitted"] for r in spark.read.parquet(out).collect()
+    }
+    assert len(got) == 6
+    # dA admitted exactly 3 total across both batches; dB its 1
+    admitted_a = [u for u, a in got.items() if a and u.startswith("a")]
+    assert len(admitted_a) == 3
+    assert got["b1"] is True
+    # the two extra dA candidates were deferred
+    assert sum(1 for u, a in got.items() if not a and u.startswith("a")) == 2
