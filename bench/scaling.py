@@ -146,7 +146,8 @@ counts; no real cluster exists here.
 (`CrawlEngine.run_round`) over a synthetic Common-Crawl-style fixture
 (FIXTURES.md, seed=42, Zipf-skewed domains) in mid-crawl state: 1/3 of
 urls already seen, the rest the frontier (the engine's invariant keeps
-frontier and seen disjoint). The round = robots broadcast join →
+frontier and seen disjoint). The round = frontier scan (politeness
+columns denormalized at enqueue — no per-round robots join) →
 skew-proof per-domain priority admission (literal-capacity
 WindowGroupLimit: map-side partial top-K, so the hottest Zipf domain
 never serializes a task) → fetch join against the url-bucketed pages
