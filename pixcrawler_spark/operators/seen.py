@@ -95,18 +95,111 @@ def bloom_maybe_seen_col(spark, bloom_bytes: bytes, m: int, url_col: str = "url"
     return probe(_positions_col(url_col, m))
 
 
+class IncrementalBloom:
+    """Persistent, incrementally-maintained seen-set bloom filter.
+
+    The naive bloom path rebuilds from the FULL seen set every round —
+    a non-starter at 10^10 urls. This one stores the merged bitmap as
+    a TableStore blob and ORs in only each round's recorded urls
+    (politeness-bounded delta). Staleness safety: the blob records the
+    round it covers; if it does not exactly cover rounds <= r-1 at use
+    time (crash between seen append and bloom update, or a fresh
+    store), it is rebuilt from the seen table once — a stale bloom
+    would otherwise produce FALSE NEGATIVES (urls wrongly skipped past
+    the exact confirm join and re-crawled).
+
+    Sizing is fixed at first build from ``n_expected`` (default: 32x
+    the initial seen count, min 2^20 bits); production would shard and
+    re-size (scalable bloom), noted here as the growth path.
+    """
+
+    BLOB = "seen_bloom"
+
+    def __init__(self, store):
+        self.store = store
+
+    def _positions_df(self, urls_df: DataFrame, m: int, url_col: str):
+        return urls_df.select(_positions_col(url_col, m).alias("pos"))
+
+    def _bits_of(self, urls_df: DataFrame, m: int, url_col: str) -> bytes:
+        n_bytes = m // 8
+
+        def to_bitmaps(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            bits = np.zeros(n_bytes, dtype=np.uint8)
+            any_rows = False
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                any_rows = True
+                pos = np.concatenate(pdf["pos"].to_numpy())
+                np.bitwise_or.at(bits, pos // 8, (1 << (pos % 8)).astype(np.uint8))
+            if any_rows:
+                yield pd.DataFrame({"bitmap": [bits.tobytes()]})
+
+        parts = (
+            self._positions_df(urls_df, m, url_col)
+            .mapInPandas(to_bitmaps, "bitmap binary")
+            .collect()
+        )
+        merged = np.zeros(n_bytes, dtype=np.uint8)
+        for row in parts:
+            merged |= np.frombuffer(row["bitmap"], dtype=np.uint8)
+        return merged.tobytes()
+
+    def ensure(
+        self,
+        seen_df: DataFrame,
+        covers_round: int,
+        url_col: str = "url",
+        n_expected: int | None = None,
+    ) -> tuple[bytes, int]:
+        """Return (bitmap, m) covering exactly ``seen_df`` (rounds <=
+        covers_round), rebuilding only when the stored blob is stale."""
+        blob = self.store.get_blob(self.BLOB)
+        if blob is not None and blob[1]["round"] == covers_round:
+            return blob[0], blob[1]["m"]
+        n = n_expected if n_expected is not None else max(seen_df.count(), 1) * 32
+        m = max(1 << 20, 1 << math.ceil(math.log2(max(1, n))))
+        bits = self._bits_of(seen_df, m, url_col)
+        self.store.put_blob(self.BLOB, bits, {"m": m, "round": covers_round})
+        return bits, m
+
+    def update(
+        self, new_urls_df: DataFrame, covers_round: int, url_col: str = "url"
+    ) -> None:
+        """OR the round's recorded urls into the stored bitmap (delta
+        only). No-op if no blob exists yet (ensure() builds lazily)."""
+        blob = self.store.get_blob(self.BLOB)
+        if blob is None:
+            return
+        old_bits, meta = blob
+        if meta["round"] >= covers_round:
+            return
+        delta = self._bits_of(new_urls_df, meta["m"], url_col)
+        merged = (
+            np.frombuffer(old_bits, dtype=np.uint8)
+            | np.frombuffer(delta, dtype=np.uint8)
+        )
+        self.store.put_blob(
+            self.BLOB, merged.tobytes(), {"m": meta["m"], "round": covers_round}
+        )
+
+
 def anti_join_seen(
     candidates: DataFrame,
     seen: DataFrame,
     url_col: str = "url",
     use_bloom: bool = False,
     seen_count_hint: int | None = None,
+    prebuilt: tuple[bytes, int] | None = None,
 ) -> DataFrame:
     """Return candidates whose url is NOT in seen.
 
     ``use_bloom=True`` routes only bloom-positive rows through the
     exact anti-join; semantics are identical (tested) — the bloom has
-    no false negatives by construction.
+    no false negatives by construction. ``prebuilt`` supplies an
+    (bitmap, m) from IncrementalBloom so the filter is not rebuilt
+    from the full seen set per call.
     """
     if not use_bloom:
         # merge hint: the seen set is never broadcastable at frontier
@@ -119,7 +212,10 @@ def anti_join_seen(
         )
 
     spark = candidates.sparkSession
-    bloom_bytes, m = build_bloom(seen, url_col, n_hint=seen_count_hint)
+    if prebuilt is not None:
+        bloom_bytes, m = prebuilt
+    else:
+        bloom_bytes, m = build_bloom(seen, url_col, n_hint=seen_count_hint)
     flagged = candidates.withColumn(
         "_maybe_seen", bloom_maybe_seen_col(spark, bloom_bytes, m, url_col)
     )

@@ -508,6 +508,19 @@ class CrawlEngine:
         seen_prev = self.store.read("seen", SEEN_SCHEMA).where(
             F.col("completed_round") < round_no
         )
+        # incremental seen-bloom: load (or rebuild if stale) the bitmap
+        # covering rounds <= round_no-1 BEFORE the concurrent jobs —
+        # job_seen advances the stored blob to round_no in parallel
+        bloom_prebuilt = None
+        if cfg.use_bloom:
+            from pixcrawler_spark.operators.seen import IncrementalBloom
+
+            self._bloom = getattr(self, "_bloom", None) or IncrementalBloom(
+                self.store
+            )
+            bloom_prebuilt = self._bloom.ensure(
+                seen_prev.select("url"), covers_round=round_no - 1
+            )
 
         def job_results() -> None:
             self.store.append(
@@ -527,6 +540,12 @@ class CrawlEngine:
                 ),
                 bucket=self._bucket,
             )
+            if cfg.use_bloom:
+                # delta-only bitmap update (the full-rebuild path is
+                # only the stale-recovery fallback in ensure())
+                self._bloom.update(
+                    recorded.select("url"), covers_round=round_no
+                )
 
         def job_frontier() -> None:
             # merge hint: at scale the decided log is politeness-bounded
@@ -547,7 +566,10 @@ class CrawlEngine:
                 .drop("_rn")
             )
             delta_new = anti_join_seen(
-                delta_best, seen_prev, use_bloom=cfg.use_bloom
+                delta_best,
+                seen_prev,
+                use_bloom=cfg.use_bloom,
+                prebuilt=bloom_prebuilt,
             ).join(recorded.select("url").hint("merge"), "url", "left_anti")
             # enqueue-time politeness stamp on the smallest set: the
             # urls that actually enter the frontier this round

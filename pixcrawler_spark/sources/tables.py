@@ -304,6 +304,41 @@ class TableStore:
         self._write_manifest(table, manifest)
         return snap
 
+    def put_blob(self, name: str, data: bytes, meta: dict) -> None:
+        """Atomically store an opaque sidecar blob + JSON metadata
+        (used for the incremental seen-set bloom filter). Blob and meta
+        commit together via one atomic rename of the meta file."""
+        d = os.path.join(self.root, "_blobs")
+        os.makedirs(d, exist_ok=True)
+        gen = uuid.uuid4().hex[:8]
+        bin_path = os.path.join(d, f"{name}.{gen}.bin")
+        with open(bin_path, "wb") as f:
+            f.write(data)
+        meta = dict(meta, _bin=os.path.basename(bin_path))
+        tmp = os.path.join(d, f"{name}.json.tmp.{gen}")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        old = self.get_blob(name)
+        os.replace(tmp, os.path.join(d, f"{name}.json"))
+        if old is not None:
+            try:
+                os.remove(os.path.join(d, old[1]["_bin"]))
+            except OSError:
+                pass
+
+    def get_blob(self, name: str) -> tuple[bytes, dict] | None:
+        d = os.path.join(self.root, "_blobs")
+        meta_path = os.path.join(d, f"{name}.json")
+        if not os.path.exists(meta_path):
+            return None
+        with open(meta_path) as f:
+            meta = json.load(f)
+        bin_path = os.path.join(d, meta["_bin"])
+        if not os.path.exists(bin_path):
+            return None
+        with open(bin_path, "rb") as f:
+            return f.read(), meta
+
     def count(self, table: str) -> int:
         """Exact row count from parquet footers (driver-side metadata
         read, no Spark job — the Iceberg manifest-stats analog)."""

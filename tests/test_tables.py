@@ -103,3 +103,43 @@ def test_rollback_unsupported_for_bucketed(spark, tmp_path):
     store.overwrite("seen", _urls(spark, 0, 10, 1), bucket=(("url",), 4))
     with pytest.raises(ValueError):
         store.rollback_to("seen", "whatever")
+
+
+def test_incremental_bloom_update_and_staleness(spark, tmp_path):
+    """IncrementalBloom: delta updates advance the covered round; a
+    stale blob (wrong round) triggers a rebuild; probes never produce
+    false negatives."""
+    from pixcrawler_spark.operators.seen import (
+        IncrementalBloom,
+        anti_join_seen,
+    )
+
+    store = TableStore(spark, str(tmp_path / "b1"))
+    bloom = IncrementalBloom(store)
+    seen_r1 = _urls(spark, 0, 500, 1).select("url")
+    bits, m = bloom.ensure(seen_r1, covers_round=1)
+    assert store.get_blob(IncrementalBloom.BLOB)[1]["round"] == 1
+
+    # round 2 delta
+    delta_r2 = _urls(spark, 500, 700, 2).select("url")
+    bloom.update(delta_r2, covers_round=2)
+    meta = store.get_blob(IncrementalBloom.BLOB)[1]
+    assert meta["round"] == 2
+
+    # the updated bitmap must have no false negatives over r1 ∪ r2
+    seen_all = seen_r1.union(delta_r2)
+    bits2, m2 = bloom.ensure(seen_all, covers_round=2)  # cache hit, no rebuild
+    assert m2 == m
+    cands = _urls(spark, 0, 1000, 0).select("url")
+    got = {
+        r["url"]
+        for r in anti_join_seen(
+            cands, seen_all, use_bloom=True, prebuilt=(bits2, m2)
+        ).collect()
+    }
+    want = {r["url"] for r in cands.join(seen_all, "url", "left_anti").collect()}
+    assert got == want
+
+    # staleness: asking for a different covered round rebuilds
+    bits3, m3 = bloom.ensure(seen_r1, covers_round=1)
+    assert store.get_blob(IncrementalBloom.BLOB)[1]["round"] == 1
