@@ -28,15 +28,18 @@ builder/progress.py:84-96, enforced at enqueue time instead of per
 round). A round is then two jobs:
 
 1. DECIDE (the hot path, one linear plan, materialized once as
-   ``round_log``): scan frontier → broadcast robots join → either
-   record ``robots_denied``, or rank by priority per domain and admit
-   up to the politeness capacity → join admitted against the
-   (bucketed) pages table on url → fetch-decision CASE. Rows the rank
-   cuts are *politeness stalls*: they are simply not in the log and
-   stay in the frontier untouched.
-2. MAINTAIN (deltas only): results/seen append = scans of the
-   committed log; next frontier = (frontier ANTI log) merged with the
-   deduped, seen-filtered discoveries + retry re-enqueues.
+   ``round_log``): scan frontier (politeness columns are denormalized
+   into it at enqueue time — no per-round robots join; see
+   FRONTIER_SCHEMA) → either record ``robots_denied`` from the stored
+   flag, or rank by priority per domain and admit up to the politeness
+   capacity → join admitted against the (bucketed) pages table on url
+   → fetch-decision CASE. Rows the rank cuts are *politeness stalls*:
+   they are simply not in the log and stay in the frontier untouched.
+2. MAINTAIN (deltas only, four CONCURRENT Spark jobs): results/seen
+   appends = scans of the committed log; next frontier = (frontier
+   ANTI log) merged with the deduped, seen-filtered,
+   politeness-stamped discoveries + retry re-enqueues; per-partition
+   metrics.
 
 SCALE NOTES (10^10-URL frontier):
 - **No wide shuffle of any static table.** ``seen``, ``pages_ext``
@@ -54,7 +57,9 @@ SCALE NOTES (10^10-URL frontier):
   18% of the corpus into one task without this.) The salted two-phase
   variant (``salt_buckets > 1``) covers unbounded-capacity scenarios.
 - The discovery seen-probe can be bloom-accelerated (operators/
-  seen.py) when ``use_bloom`` — no false drops possible.
+  seen.py) when ``use_bloom`` — an INCREMENTAL persistent bitmap
+  (delta-only updates per round, staleness-safe rebuild); false drops
+  impossible by construction (probe → exact confirm join).
 - Each round commits round_log/results/seen/frontier/metrics
   (TableStore → Iceberg in production); a crashed round re-runs
   idempotently: ``round-N``-tagged results snapshots are dropped on
