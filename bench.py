@@ -99,6 +99,11 @@ def main() -> None:
     spark = get_spark(app_name="pixcrawler_bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # untimed warmup: JVM/codegen init + Python worker spawn, so the
+    # first headline query isn't charged session startup
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         timings[name] = round(_time_query(spark, name, sf_dir), 3)
