@@ -30,6 +30,9 @@ def main() -> None:
     ap.add_argument("--seeds", nargs="*", default=None)
     ap.add_argument("--seeds-from-pages", type=int, default=0,
                     help="seed with the first K crawlable fixture urls")
+    ap.add_argument("--config", default=None,
+                    help="crawl-config JSON path (reference CONFIG_SCHEMA): "
+                    "categories/keywords drive deterministic SERP seeding")
     ap.add_argument("--max-depth", type=int, default=2)
     ap.add_argument("--max-rounds", type=int, default=3)
     ap.add_argument("--round-len-s", type=float, default=10.0)
@@ -47,6 +50,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
 
     seeds = list(args.seeds or [])
+    if args.config:
+        from pixcrawler_spark.config import load_config
+        from pixcrawler_spark.plans.seeding import seeds_from_config
+
+        dcfg = load_config(args.config)
+        rows = seeds_from_config(
+            spark, dcfg, spark.read.parquet(args.pages)
+        ).collect()
+        seeds += [r["url"] for r in rows]
     if args.seeds_from_pages:
         rows = (
             spark.read.parquet(args.pages)

@@ -131,6 +131,49 @@ def crawl_priority_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "crawl_serp_seeding",
+    oracle="""
+    WITH pages AS (
+      SELECT 'https://' || source || '.example/doc/' || doc_id AS url
+      FROM documents
+    ),
+    queries(variation, engine, off) AS (
+      VALUES ('cats photos', 'google', 3), ('dogs photos', 'bing', 0)
+    ),
+    ranked AS (
+      SELECT q.variation, q.engine, q.off, p.url,
+             row_number() OVER (
+               PARTITION BY q.variation, q.engine
+               ORDER BY md5(p.url || '|' || q.variation || '|' || q.engine), p.url
+             ) AS rk
+      FROM pages p CROSS JOIN queries q
+    )
+    SELECT variation, engine, CAST(rk - off AS INT) AS serp_rank, url
+    FROM ranked WHERE rk > off AND rk <= off + 10
+    """,
+    doc="Config→frontier seeding: deterministic SERP windows — per "
+    "engine query, pages ranked by a portable hash, result page = "
+    "[offset, offset+k) of the ranking (plans/seeding.py; reference "
+    "search-result fetch, builder/_search_engines.py:282-298, offset "
+    "arithmetic builder/_engine.py:455-457).",
+)
+def crawl_serp_seeding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pixcrawler_spark.plans.seeding import serp_urls
+
+    pages = _pages(spark, sf_dir).select("url")
+    queries = spark.createDataFrame(
+        [
+            ("c", "cats", "cats photos", "google", 3),
+            ("c", "dogs", "dogs photos", "bing", 0),
+        ],
+        "category string, keyword string, variation string, engine string, offset int",
+    )
+    return serp_urls(pages, queries, per_query=10).select(
+        "variation", "engine", "serp_rank", "url"
+    )
+
+
+@register(
     "crawl_robots_parse",
     oracle="""
     WITH src AS (SELECT DISTINCT source FROM documents)
