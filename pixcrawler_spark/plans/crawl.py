@@ -552,6 +552,14 @@ class CrawlEngine:
                     recorded.select("url"), covers_round=round_no
                 )
 
+        # discovery delta (lazy; evaluated by the merge job and by the
+        # raw-count telemetry job below)
+        delta_expr = self._discovered_frontier(log, round_no).unionByName(
+            self._retry_frontier(log, round_no).drop(
+                "robots_denied", "crawl_delay_s", "max_per_round"
+            )
+        )
+
         def job_frontier() -> None:
             # merge hint: at scale the decided log is politeness-bounded
             # but still too big to broadcast; SMJ scans the bucketed
@@ -559,11 +567,7 @@ class CrawlEngine:
             remainder = frontier.join(
                 log.select("url").hint("merge"), "url", "left_anti"
             )
-            delta = self._discovered_frontier(log, round_no).unionByName(
-                self._retry_frontier(log, round_no).drop(
-                    "robots_denied", "crawl_delay_s", "max_per_round"
-                )
-            )
+            delta = delta_expr
             wdup = Window.partitionBy("url").orderBy(*_best_order())
             delta_best = (
                 delta.withColumn("_rn", F.row_number().over(wdup))
@@ -609,16 +613,20 @@ class CrawlEngine:
 
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=4) as pool:
+        with ThreadPoolExecutor(max_workers=5) as pool:
             f_results = pool.submit(job_results)
             f_seen = pool.submit(job_seen)
             f_frontier = pool.submit(job_frontier)
             f_metrics = pool.submit(job_metrics)
+            # dedup telemetry: raw discovered rows, counted concurrently
+            # (hides under the merge job's wall time)
+            f_disc_raw = pool.submit(delta_expr.count)
             f_results.result()
             f_seen.result()
             f_frontier.result()
             per_part = f_metrics.result()
-        _trace("maintain (4 concurrent jobs)")
+            n_disc_raw = int(f_disc_raw.result())
+        _trace("maintain (5 concurrent jobs)")
 
         # 4. per-round summary + metrics table commit
         wall = time.monotonic() - t0
@@ -628,6 +636,15 @@ class CrawlEngine:
         n_retrying = int(sum(r["n_retrying"] for r in per_part))
         n_processed = n_decided - n_retrying
         n_stalled = n_frontier - n_decided  # politeness deferrals
+        # discovery dedup hit-rate: fraction of discovered rows dropped
+        # as duplicate / already-seen / just-decided. n_disc_new is
+        # derived exactly from footer counts (next frontier = remainder
+        # + delta_new, and remainder = n_frontier - n_decided).
+        n_frontier_next = self.store.count("frontier")
+        n_disc_new = int(n_frontier_next - (n_frontier - n_decided))
+        dedup_hit = (
+            1.0 - (n_disc_new / n_disc_raw) if n_disc_raw > 0 else 0.0
+        )
         from pixcrawler_spark.schemas import METRICS_SCHEMA
 
         metrics_rows = [
@@ -639,12 +656,18 @@ class CrawlEngine:
                 int(n_stalled),
                 int(r["n_robots_denied"]),
                 int(r["n_fetched"]),
+                n_disc_raw,
+                n_disc_new,
+                float(dedup_hit),
                 float(wall),
                 float(r["n_processed"] / wall if wall > 0 else 0.0),
             )
             for r in per_part
         ] or [
-            (round_no, -1, int(n_frontier), 0, int(n_stalled), 0, 0, float(wall), 0.0)
+            (
+                round_no, -1, int(n_frontier), 0, int(n_stalled), 0, 0,
+                n_disc_raw, n_disc_new, float(dedup_hit), float(wall), 0.0,
+            )
         ]
         # tiny telemetry commit: pyarrow write on the driver, no Spark job
         self.store.append_local(
@@ -660,6 +683,9 @@ class CrawlEngine:
             "n_fetched": int(n_fetched_total),
             "n_retrying": n_retrying,
             "n_stalled": int(n_stalled),
+            "n_discovered_raw": n_disc_raw,
+            "n_discovered_new": n_disc_new,
+            "dedup_hit_rate": round(dedup_hit, 4),
             "wall_seconds": round(wall, 3),
             "urls_per_sec": round(n_frontier / wall, 1) if wall > 0 else 0.0,
         }

@@ -121,6 +121,13 @@ METRICS_SCHEMA = StructType(
         StructField("n_politeness_stalled", LongType(), False),
         StructField("n_robots_denied", LongType(), False),
         StructField("n_fetched", LongType(), False),
+        # discovery dedup telemetry (north rule "dedup hit-rate"):
+        # raw discovered outlinks+retries vs rows that actually entered
+        # the frontier after dedup + seen-filter (per round; collected
+        # via Observation during the merge job — no extra Spark job)
+        StructField("n_discovered_raw", LongType(), False),
+        StructField("n_discovered_new", LongType(), False),
+        StructField("dedup_hit_rate", DoubleType(), False),
         StructField("wall_seconds", DoubleType(), False),
         StructField("urls_per_sec", DoubleType(), False),
     ]
