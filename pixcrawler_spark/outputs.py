@@ -112,3 +112,40 @@ def dataset_report(results: DataFrame) -> DataFrame:
         ).alias("success_rate"),
         F.max("round").alias("n_rounds"),
     )
+
+
+def write_archive_tiers(
+    results: DataFrame,
+    out_dir: str,
+    hot_threshold: int,
+    order_cols: tuple[str, ...] = ("url",),
+    hot_codec: str = "snappy",
+    cold_codec: str = "zstd",
+) -> dict[str, str]:
+    """Storage-tiering + compression sink (reference: hot/warm archive
+    pipeline, utility/compress/pipeline.py:63-233 + tier split
+    backend/services/dataset_processing_pipeline.py:488-534): the first
+    ``hot_threshold`` rows by deterministic order land in ``hot/`` with
+    a cheap codec, the rest in ``cold/`` with zstd — the re-encode +
+    tar/zstd archive step collapses into parquet codec options on two
+    distributed writes (a real deployment points these at different
+    storage classes)."""
+    w = Window.orderBy(*[F.asc(c) for c in order_cols])
+    ranked = results.withColumn("_rn", F.row_number().over(w))
+    hot = os.path.join(out_dir, "hot")
+    cold = os.path.join(out_dir, "cold")
+    (
+        ranked.where(F.col("_rn") <= hot_threshold)
+        .drop("_rn")
+        .write.mode("overwrite")
+        .option("compression", hot_codec)
+        .parquet(hot)
+    )
+    (
+        ranked.where(F.col("_rn") > hot_threshold)
+        .drop("_rn")
+        .write.mode("overwrite")
+        .option("compression", cold_codec)
+        .parquet(cold)
+    )
+    return {"hot": hot, "cold": cold}

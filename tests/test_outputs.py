@@ -69,3 +69,23 @@ def test_dataset_report(results):
     assert rep["n_items"] == rep["n_urls"]  # urls unique across rounds
     assert 0.0 <= rep["success_rate"] <= 1.0
     assert rep["n_fetched"] > 0 and rep["n_rounds"] == 3
+
+
+def test_write_archive_tiers(spark, tmp_path):
+    from pixcrawler_spark.outputs import write_archive_tiers
+
+    df = spark.range(100).selectExpr("concat('u', id) AS url", "id AS v")
+    paths = write_archive_tiers(df, str(tmp_path / "tiers"), hot_threshold=30)
+    hot = spark.read.parquet(paths["hot"])
+    cold = spark.read.parquet(paths["cold"])
+    assert hot.count() == 30 and cold.count() == 70
+    # tier split is deterministic by order: hot = lexicographically first 30
+    all_urls = sorted(r["url"] for r in df.collect())
+    got_hot = sorted(r["url"] for r in hot.collect())
+    assert got_hot == all_urls[:30]
+    # cold files really are zstd-compressed parquet
+    import pyarrow.parquet as pq
+    import glob, os
+    f = glob.glob(os.path.join(paths["cold"], "*.parquet"))[0]
+    md = pq.ParquetFile(f).metadata
+    assert md.row_group(0).column(0).compression.lower() == "zstd"
