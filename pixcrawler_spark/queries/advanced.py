@@ -272,3 +272,32 @@ def q28_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((lang), (source), (lang, source))
         """
     )
+
+
+@register(
+    "q29_quality_score",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_crawled,
+           CAST(count(DISTINCT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS BIGINT)
+             AS n_unique,
+           round(count(DISTINCT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))))
+                 * 100.0 / count(*), 4) AS quality_pct
+    FROM documents GROUP BY source
+    """,
+    doc="Dataset quality score per source: unique documents (normalized "
+    "fingerprint) / crawled * 100 (reference: "
+    "backend/services/dataset_processing_pipeline.py:536-556).",
+)
+def q29_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pixcrawler_spark.operators.textstats import fingerprint_expr
+
+    d = load_table(spark, sf_dir, "documents")
+    fp = fingerprint_expr("text")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_crawled"),
+        F.countDistinct(fp).alias("n_unique"),
+        F.round(
+            F.countDistinct(fp) * 100.0 / F.count(F.lit(1)), 4
+        ).alias("quality_pct"),
+    )
