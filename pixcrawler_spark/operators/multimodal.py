@@ -133,3 +133,72 @@ def frame_sample_plan(df: DataFrame, every_s: float = 1.0) -> DataFrame:
         )
         .select("media_id", "frame_ts_s")
     )
+
+
+def resize_plan(
+    decoded: DataFrame, max_side: int = 512
+) -> DataFrame:
+    """Aspect-preserving resize planning: target dimensions computed
+    JVM-side (pure arithmetic — no decode needed). The pixel resample
+    itself shares the stubbed decode boundary (`_decode_one`); this is
+    the half of 'resize' that is pure dataflow: every image larger than
+    ``max_side`` gets scaled dims, smaller ones pass through."""
+    scale = F.greatest(F.col("width"), F.col("height")) / F.lit(float(max_side))
+    needs = (F.col("kind") == "image") & (
+        F.greatest(F.col("width"), F.col("height")) > max_side
+    )
+    tw = F.when(needs, F.round(F.col("width") / scale).cast("int")).otherwise(
+        F.col("width")
+    )
+    th = F.when(needs, F.round(F.col("height") / scale).cast("int")).otherwise(
+        F.col("height")
+    )
+    return decoded.where(F.col("kind") == "image").select(
+        "media_id",
+        "width",
+        "height",
+        needs.alias("needs_resize"),
+        tw.alias("target_width"),
+        th.alias("target_height"),
+    )
+
+
+FEATURE_FIELDS = "media_id bigint, feature array<float>"
+
+
+def feature_extract(
+    df: DataFrame, dim: int = 16, deterministic_fake: bool = False
+) -> DataFrame:
+    """Media → embedding plumbing: binary payload to array<float> via
+    an Arrow-batched pandas UDF (the shape every downstream ANN /
+    near-dup operator consumes — operators/similarity.py). The real
+    model inference replaces `_fake_vec`; schema, batching and the
+    vectorized transport are the production path."""
+    import hashlib as _hl
+
+    import numpy as np
+
+    def _fake_vec(payload: bytes | None) -> list[float]:
+        if payload is None:
+            return [0.0] * dim
+        h = _hl.sha256(payload).digest()
+        raw = (h * ((dim * 4) // len(h) + 1))[: dim * 4]
+        v = np.frombuffer(raw, dtype=np.uint32)[:dim].astype(np.float64)
+        v = (v % 2000) / 1000.0 - 1.0
+        return [float(round(x, 6)) for x in v]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not deterministic_fake:
+                raise NotImplementedError(
+                    "feature extraction requires a model runtime; pass "
+                    "deterministic_fake=True for the plumbing path"
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "feature": [_fake_vec(p) for p in pdf["payload"]],
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(gen, FEATURE_FIELDS)

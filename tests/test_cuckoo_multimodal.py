@@ -92,3 +92,34 @@ def test_validity_and_frame_sampling(media):
     fr = frames.where(F.col("media_id") == 5).collect()
     assert len(fr) >= 1
     assert all(abs(r["frame_ts_s"] - i * 1.0) < 1e-9 for i, r in enumerate(fr))
+
+
+def test_resize_plan(spark):
+    from pixcrawler_spark.operators.multimodal import resize_plan
+
+    decoded = spark.createDataFrame(
+        [(1, "image", 1024, 512, True), (2, "image", 100, 50, True),
+         (3, "audio", None, None, True)],
+        "media_id long, kind string, width int, height int, is_valid boolean",
+    )
+    got = {r["media_id"]: r.asDict() for r in resize_plan(decoded, max_side=512).collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["needs_resize"] and got[1]["target_width"] == 512 and got[1]["target_height"] == 256
+    assert not got[2]["needs_resize"] and got[2]["target_width"] == 100
+
+
+def test_feature_extract_plumbing(spark):
+    from pixcrawler_spark.operators.multimodal import feature_extract
+
+    media = spark.createDataFrame(
+        [(1, bytearray(b"\x89PNGxxxxxxxxxxxxxxx")), (2, None)],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: list(r["feature"]) for r in
+            feature_extract(media, dim=8, deterministic_fake=True).collect()}
+    assert len(rows[1]) == 8 and all(-1.0 <= x <= 1.0 for x in rows[1])
+    assert rows[2] == [0.0] * 8
+    # deterministic across runs
+    rows2 = {r["media_id"]: list(r["feature"]) for r in
+             feature_extract(media, dim=8, deterministic_fake=True).collect()}
+    assert rows == rows2
