@@ -13,11 +13,15 @@ Implementation: standard (2,4) cuckoo filter — 2 candidate buckets,
 lookups; used per-partition inside mapInPandas (build) and as a
 broadcast probe, mirroring the bloom path in operators/seen.py.
 
-Used in the engine as a belt-and-suspenders IN-ROUND pre-dedup: each
-partition drops locally-repeated candidate urls before the exact
-per-url dedup window, shrinking the window shuffle. Approximate
-filtering is only ever a pre-pass — exactness always comes from the
-window/anti-join behind it.
+Engine status: exposed as ``partition_dedup`` for in-partition
+pre-dedup of candidate streams. The v2 round loop no longer needs it
+on the hot path — the discovery dedup window carries a rank filter,
+so Spark's WindowGroupLimit already drops locally-repeated urls
+map-side before the exchange (the same effect, exact, and free).
+The filter remains the right tool where deletion matters (e.g. an
+admission cache that retracts deferred candidates) and for non-window
+pipelines. Approximate filtering is only ever a pre-pass — exactness
+always comes from the window/anti-join behind it.
 """
 
 from __future__ import annotations
