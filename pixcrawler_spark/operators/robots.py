@@ -9,7 +9,9 @@ the de-facto standard subset (RFC 9309 §2 simplified):
 - a ``User-agent:`` line opens a group; consecutive UA lines share the
   group; we honor the ``*`` group (this engine's UA);
 - ``Disallow:`` paths within the ``*`` group become prefix rules
-  (empty Disallow = allow-all, contributes nothing);
+  (empty Disallow = allow-all, contributes nothing; ``Disallow: /``
+  is RFC deny-all and is kept as the empty-string prefix, which
+  startswith-matches every path);
 - ``Crawl-delay:`` within the ``*`` group sets the domain's token
   bucket delay (non-standard but ubiquitous).
 
@@ -102,17 +104,18 @@ def parse_robots(
     dis_raw = F.filter(
         F.col("_lines"), lambda l: F.lower(l).rlike(r"^disallow\s*:")
     )
-    dis_paths = F.filter(
+    # RFC 9309: an EMPTY Disallow value contributes nothing, but
+    # ``Disallow: /`` is deny-all — so drop empties BEFORE stripping
+    # the leading '/', keeping '/' as the empty-string prefix (which
+    # startswith-matches every path downstream).
+    dis_vals = F.filter(
         F.transform(
             dis_raw,
-            lambda l: F.regexp_replace(
-                F.trim(F.regexp_replace(l, r"(?i)^disallow\s*:", "")),
-                r"^/",
-                "",
-            ),
+            lambda l: F.trim(F.regexp_replace(l, r"(?i)^disallow\s*:", "")),
         ),
-        lambda p: p != "",
+        lambda v: v != "",
     )
+    dis_paths = F.transform(dis_vals, lambda v: F.regexp_replace(v, r"^/", ""))
     delays = F.filter(
         F.col("_lines"), lambda l: F.lower(l).rlike(r"^crawl-delay\s*:")
     )

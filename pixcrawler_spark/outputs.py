@@ -74,10 +74,60 @@ def label_rows(results: DataFrame) -> DataFrame:
     )
 
 
-def write_labels(results: DataFrame, out_dir: str, formats: tuple[str, ...] = ("json", "csv")) -> dict[str, str]:
+LABEL_COLUMNS = (
+    "category", "category_id", "url", "seq_name", "depth", "round",
+    "text_chars", "n_outlinks", "warc_ts",
+)
+_LABEL_STRING_COLS = {"category", "url", "seq_name", "warc_ts"}
+
+
+def _yaml_quote(col):
+    """Single-quote a string for single-line (flow) YAML: embedded
+    single quotes double. JVM expressions only — the serializer stays
+    in whole-stage codegen, no Python in the write path."""
+    return F.concat(F.lit("'"), F.regexp_replace(col, "'", "''"), F.lit("'"))
+
+
+def _label_line(fmt: str):
+    """One label row → one serialized line (txt / yaml), as a Column.
+
+    - ``yaml``: a single-line flow mapping ``{category: 'x', ...}`` —
+      valid YAML per record, so a distributed text sink (one record per
+      line) works; strings are single-quoted (urls contain ``:``).
+    - ``txt``: the reference's ``key: value`` lines
+      (builder/_generator.py:896-932) tab-joined into one record.
+    """
+    parts = []
+    for c in LABEL_COLUMNS:
+        base = (
+            F.date_format(c, "yyyy-MM-dd HH:mm:ss")
+            if c == "warc_ts"
+            else F.col(c).cast("string")
+        )
+        if fmt == "yaml" and c in _LABEL_STRING_COLS:
+            base = _yaml_quote(base)
+        parts.append(F.concat(F.lit(f"{c}: "), base))
+    if fmt == "yaml":
+        joined = parts[0]
+        for p in parts[1:]:
+            joined = F.concat(joined, F.lit(", "), p)
+        return F.concat(F.lit("{"), joined, F.lit("}"))
+    joined = parts[0]
+    for p in parts[1:]:
+        joined = F.concat(joined, F.lit("\t"), p)
+    return joined
+
+
+def write_labels(
+    results: DataFrame,
+    out_dir: str,
+    formats: tuple[str, ...] = ("json", "csv", "txt", "yaml"),
+) -> dict[str, str]:
     """Write label projections in the requested formats; returns paths.
-    (yaml/txt variants of the reference are serialization of the same
-    rows; json/csv are the two Spark-native sinks.)"""
+    All four reference formats (builder/_generator.py:662-736,896-1040)
+    serialize the same rows: json/csv via the native Spark sinks,
+    txt/yaml via a JVM string-serializer column + the distributed text
+    sink (per-row writer loops collapse into distributed writes)."""
     rows = label_rows(results)
     paths = {}
     for fmt in formats:
@@ -86,6 +136,10 @@ def write_labels(results: DataFrame, out_dir: str, formats: tuple[str, ...] = ("
             rows.write.mode("overwrite").json(path)
         elif fmt == "csv":
             rows.write.mode("overwrite").option("header", True).csv(path)
+        elif fmt in ("txt", "yaml"):
+            rows.select(_label_line(fmt).alias("value")).write.mode(
+                "overwrite"
+            ).text(path)
         else:
             raise ValueError(f"unsupported label format: {fmt}")
         paths[fmt] = path
@@ -129,21 +183,45 @@ def write_archive_tiers(
     a cheap codec, the rest in ``cold/`` with zstd — the re-encode +
     tar/zstd archive step collapses into parquet codec options on two
     distributed writes (a real deployment points these at different
-    storage classes)."""
-    w = Window.orderBy(*[F.asc(c) for c in order_cols])
-    ranked = results.withColumn("_rn", F.row_number().over(w))
+    storage classes).
+
+    Scale: NO global window (a partitionBy-less row_number would drag
+    the whole table through one task). Instead the boundary KEY at rank
+    ``hot_threshold`` is computed from the narrow key columns alone —
+    each map task contributes its local top-K keys, a single reducer
+    reduces K keys to one boundary value — and the split is then two
+    fully distributed lexicographic filters against that literal. Exact
+    when the order key is unique (url is); under ties every row equal
+    to the boundary lands hot."""
     hot = os.path.join(out_dir, "hot")
     cold = os.path.join(out_dir, "cold")
+    key_cols = [F.col(c) for c in order_cols]
+    boundary = None
+    if hot_threshold > 0:
+        row = (
+            results.select(F.struct(*key_cols).alias("_k"))
+            .orderBy(F.asc("_k"))
+            .limit(hot_threshold)
+            .agg(F.max("_k").alias("m"))
+            .collect()[0]
+        )
+        boundary = row["m"]
+    if boundary is None:
+        is_hot = F.lit(False)
+    else:
+        # lexicographic (c1..ck) <= boundary, built column-wise so no
+        # struct literal is needed
+        is_hot = F.lit(True)
+        for c, v in reversed(list(zip(key_cols, list(boundary)))):
+            is_hot = (c < F.lit(v)) | ((c == F.lit(v)) & is_hot)
     (
-        ranked.where(F.col("_rn") <= hot_threshold)
-        .drop("_rn")
+        results.where(is_hot)
         .write.mode("overwrite")
         .option("compression", hot_codec)
         .parquet(hot)
     )
     (
-        ranked.where(F.col("_rn") > hot_threshold)
-        .drop("_rn")
+        results.where(~is_hot)
         .write.mode("overwrite")
         .option("compression", cold_codec)
         .parquet(cold)

@@ -61,9 +61,17 @@ SCALE NOTES (10^10-URL frontier):
   (delta-only updates per round, staleness-safe rebuild); false drops
   impossible by construction (probe → exact confirm join).
 - Each round commits round_log/results/seen/frontier/metrics
-  (TableStore → Iceberg in production); a crashed round re-runs
-  idempotently: ``round-N``-tagged results snapshots are dropped on
-  re-entry and the deterministic decide plan regenerates them.
+  (TableStore → Iceberg in production). COMMIT ORDER makes a crashed
+  round idempotent: round_log (stamped with its round) → results/seen
+  appends (computed concurrently with the frontier's data write) →
+  the frontier manifest flip (STAGED during the concurrent phase,
+  committed strictly last — the round's single commit point) →
+  metrics. Re-entry after a crash therefore sees exactly one of two
+  states: the frontier not yet advanced (roll back any partial
+  results/seen commits and re-run the deterministic decide plan), or
+  the frontier advanced (results/seen are complete by construction;
+  only metrics needs finalizing from the committed log). See
+  ``_recover``.
 """
 
 from __future__ import annotations
@@ -475,6 +483,97 @@ class CrawlEngine:
             best["max_per_round"].alias("max_per_round"),
         )
 
+    def _delta_expr(self, log: DataFrame, round_no: int) -> DataFrame:
+        """Raw (pre-dedup) frontier delta of a round: discovered
+        outlinks ∪ retry re-enqueues. Deterministic given the committed
+        log, so recovery can recompute it."""
+        return self._discovered_frontier(log, round_no).unionByName(
+            self._retry_frontier(log, round_no).drop(
+                "robots_denied", "crawl_delay_s", "max_per_round"
+            )
+        )
+
+    def _recover(self, round_no: int) -> dict | None:
+        """Idempotent re-entry for round N (see module docstring commit
+        order). Returns a reconstructed summary when the round's commit
+        point already passed (only metrics was lost in the crash), else
+        rolls back partial commits and returns None so the round runs
+        normally. Rollback pieces:
+
+        - tagged round-N results/metrics snapshots → dropped (manifest);
+        - bucketed seen rows from a half-committed append → detected
+          driver-side via parquet footer stats (max completed_round ≥ N,
+          no scan) and removed by a filter-rewrite — the parquet
+          stand-in for Iceberg's ``DELETE WHERE completed_round >= N``
+          (metadata-level there; a one-off table rewrite here, paid only
+          on actual crash recovery);
+        - a bloom blob advanced past N-1 is harmless: extra bits only
+          send more rows to the exact confirm join (probe is a
+          prefilter, never an authority).
+        """
+        fmeta = (
+            self.store.table_meta("frontier")
+            if self.store.exists("frontier")
+            else {}
+        )
+        if int(fmeta.get("round", -1)) >= round_no:
+            return self._finalize_metrics(round_no)
+        self.store.drop_tagged("results", {f"round-{round_no}"})
+        self.store.drop_tagged("metrics", {f"round-{round_no}"})
+        if self.store.exists("seen"):
+            mx = self.store.column_max("seen", "completed_round")
+            if mx is not None and int(mx) >= round_no:
+                clean = self.store.read("seen", SEEN_SCHEMA).where(
+                    F.col("completed_round") < round_no
+                )
+                self.store.overwrite("seen", clean, bucket=self._bucket)
+        return None
+
+    def _finalize_metrics(self, round_no: int) -> dict:
+        """Round N crashed after its frontier commit point: results and
+        seen are complete by the commit order; recompute the metrics
+        row from the committed round_log (whose manifest meta carries
+        the round number and input frontier size). Wall-clock of the
+        crashed attempt is unrecoverable → recorded as 0."""
+        lmeta = self.store.table_meta("round_log")
+        if int(lmeta.get("round", -1)) != round_no:
+            raise RuntimeError(
+                f"recovery invariant violated: frontier advanced to round "
+                f"{round_no} but round_log meta says {lmeta.get('round')}"
+            )
+        n_frontier = int(lmeta.get("n_frontier", 0))
+        log = self.store.read("round_log")
+        per_part = self._metrics_agg(log)
+        n_disc_raw = int(self._delta_expr(log, round_no).count())
+        return self._commit_metrics(
+            round_no, per_part, n_frontier, n_disc_raw, wall=0.0
+        )
+
+    @staticmethod
+    def _metrics_agg(log: DataFrame) -> list:
+        return (
+            log.groupBy("partition_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_processed"),
+                F.sum(
+                    F.when(
+                        F.col("fetch_decision") == "robots_denied", 1
+                    ).otherwise(0)
+                ).alias("n_robots_denied"),
+                F.sum(
+                    F.when(
+                        (F.col("fetch_decision") == "fetched")
+                        & (~F.col("will_retry")),
+                        1,
+                    ).otherwise(0)
+                ).alias("n_fetched"),
+                F.sum(F.when(F.col("will_retry"), 1).otherwise(0)).alias(
+                    "n_retrying"
+                ),
+            )
+            .collect()
+        )
+
     def run_round(self, round_no: int) -> dict:
         cfg = self.config
         t0 = time.monotonic()
@@ -489,12 +588,20 @@ class CrawlEngine:
                 )
                 _last[0] = now
 
-        # crash recovery: a re-run of this round drops its half-committed
-        # results snapshots (seen rows are guarded by completed_round)
-        self.store.drop_tagged("results", {f"round-{round_no}"})
+        # crash recovery (no-op on a clean run; see _recover)
+        recovered = self._recover(round_no)
+        if recovered is not None:
+            return recovered
 
-        # 1. DECIDE — the one heavy job of the round
-        self.store.overwrite("round_log", self.decide_plan(round_no))
+        # 1. DECIDE — the one heavy job of the round. The log's
+        # manifest meta stamps the round and the input frontier size so
+        # recovery can finalize metrics without the lost driver state.
+        n_frontier = self.store.count("frontier")
+        self.store.overwrite(
+            "round_log",
+            self.decide_plan(round_no),
+            meta={"round": round_no, "n_frontier": n_frontier},
+        )
         log = self.store.read("round_log")
         _trace("decide (round_log commit)")
 
@@ -507,9 +614,8 @@ class CrawlEngine:
         # bucketed seen scan still exchange-free (a union would break
         # bucketing and re-shuffle the whole seen set).
         recorded = log.where(~F.col("will_retry"))
-        # resolve reads + footer count before any concurrent write
+        # resolve reads before any concurrent write
         frontier = self.store.read("frontier", FRONTIER_SCHEMA)
-        n_frontier = self.store.count("frontier")
         seen_prev = self.store.read("seen", SEEN_SCHEMA).where(
             F.col("completed_round") < round_no
         )
@@ -554,13 +660,9 @@ class CrawlEngine:
 
         # discovery delta (lazy; evaluated by the merge job and by the
         # raw-count telemetry job below)
-        delta_expr = self._discovered_frontier(log, round_no).unionByName(
-            self._retry_frontier(log, round_no).drop(
-                "robots_denied", "crawl_delay_s", "max_per_round"
-            )
-        )
+        delta_expr = self._delta_expr(log, round_no)
 
-        def job_frontier() -> None:
+        def job_frontier_stage() -> dict:
             # merge hint: at scale the decided log is politeness-bounded
             # but still too big to broadcast; SMJ scans the bucketed
             # frontier exchange-free and shuffles only the log urls
@@ -585,30 +687,12 @@ class CrawlEngine:
             next_frontier = self._merge_best(
                 remainder, self._with_politeness(delta_new)
             )
-            self.store.overwrite("frontier", next_frontier, bucket=self._bucket)
-
-        def job_metrics():
-            return (
-                log.groupBy("partition_id")
-                .agg(
-                    F.count(F.lit(1)).alias("n_processed"),
-                    F.sum(
-                        F.when(
-                            F.col("fetch_decision") == "robots_denied", 1
-                        ).otherwise(0)
-                    ).alias("n_robots_denied"),
-                    F.sum(
-                        F.when(
-                            (F.col("fetch_decision") == "fetched")
-                            & (~F.col("will_retry")),
-                            1,
-                        ).otherwise(0)
-                    ).alias("n_fetched"),
-                    F.sum(F.when(F.col("will_retry"), 1).otherwise(0)).alias(
-                        "n_retrying"
-                    ),
-                )
-                .collect()
+            # STAGED: the data write runs now (concurrently), but the
+            # manifest flip — the round's commit point — happens only
+            # after the results/seen commits have landed.
+            return self.store.stage_overwrite(
+                "frontier", next_frontier, bucket=self._bucket,
+                meta={"round": round_no},
             )
 
         from concurrent.futures import ThreadPoolExecutor
@@ -616,20 +700,35 @@ class CrawlEngine:
         with ThreadPoolExecutor(max_workers=5) as pool:
             f_results = pool.submit(job_results)
             f_seen = pool.submit(job_seen)
-            f_frontier = pool.submit(job_frontier)
-            f_metrics = pool.submit(job_metrics)
+            f_frontier = pool.submit(job_frontier_stage)
+            f_metrics = pool.submit(self._metrics_agg, log)
             # dedup telemetry: raw discovered rows, counted concurrently
             # (hides under the merge job's wall time)
             f_disc_raw = pool.submit(delta_expr.count)
             f_results.result()
             f_seen.result()
-            f_frontier.result()
+            frontier_token = f_frontier.result()
             per_part = f_metrics.result()
             n_disc_raw = int(f_disc_raw.result())
-        _trace("maintain (5 concurrent jobs)")
+        # commit point: everything the next frontier supersedes is
+        # durable — flip it (one atomic rename)
+        self.store.commit_staged(frontier_token)
+        _trace("maintain (5 concurrent jobs + ordered frontier commit)")
 
         # 4. per-round summary + metrics table commit
         wall = time.monotonic() - t0
+        return self._commit_metrics(
+            round_no, per_part, n_frontier, n_disc_raw, wall
+        )
+
+    def _commit_metrics(
+        self,
+        round_no: int,
+        per_part: list,
+        n_frontier: int,
+        n_disc_raw: int,
+        wall: float,
+    ) -> dict:
         n_decided = sum(r["n_processed"] for r in per_part)
         n_denied = sum(r["n_robots_denied"] for r in per_part)
         n_fetched_total = sum(r["n_fetched"] for r in per_part)
@@ -687,7 +786,13 @@ class CrawlEngine:
             "n_discovered_new": n_disc_new,
             "dedup_hit_rate": round(dedup_hit, 4),
             "wall_seconds": round(wall, 3),
-            "urls_per_sec": round(n_frontier / wall, 1) if wall > 0 else 0.0,
+            # headline rate = DECIDED urls/sec (politeness-stalled rows
+            # are untouched work, not throughput); the frontier-scan
+            # rate is reported under its honest name
+            "decided_per_sec": round(n_decided / wall, 1) if wall > 0 else 0.0,
+            "frontier_scan_per_sec": (
+                round(n_frontier / wall, 1) if wall > 0 else 0.0
+            ),
         }
 
     # -- full crawl ------------------------------------------------------------
@@ -698,7 +803,10 @@ class CrawlEngine:
         if not resume:
             for t in ("frontier", "seen", "results", "metrics", "round_log"):
                 self.store.drop(t)
-            self.store.overwrite("frontier", self._seed_frontier(), bucket=self._bucket)
+            self.store.overwrite(
+                "frontier", self._seed_frontier(), bucket=self._bucket,
+                meta={"round": 0},
+            )
             start = 1
         else:
             start = self.current_round() + 1

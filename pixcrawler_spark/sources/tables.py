@@ -108,7 +108,7 @@ class TableStore:
     def _read_manifest(self, table: str) -> dict:
         p = self._manifest_path(table)
         if not os.path.exists(p):
-            return {"snapshots": [], "schema": None, "bucketed": None}
+            return {"snapshots": [], "schema": None, "bucketed": None, "meta": {}}
         with open(p) as f:
             m = json.load(f)
         # back-compat: plain-string snapshot entries
@@ -117,6 +117,7 @@ class TableStore:
             for s in m.get("snapshots", [])
         ]
         m.setdefault("bucketed", None)
+        m.setdefault("meta", {})
         return m
 
     def _write_manifest(self, table: str, manifest: dict) -> None:
@@ -168,12 +169,21 @@ class TableStore:
     ) -> str:
         """Commit ``df`` as a new snapshot; returns the snapshot id.
         For bucketed tables the rows are inserted into the current
-        generation's bucket files (``tag`` is not tracked per-row there;
-        the engine guards bucketed reads by a round column instead)."""
+        generation's bucket files. ``tag`` is not tracked per-row there
+        (crash recovery for bucketed appends goes through a guard
+        column + ``column_max``, see plans/crawl.py), so passing one
+        raises rather than silently changing recovery behavior; same
+        for a ``bucket`` request against an existing plain table."""
         manifest = self._read_manifest(table)
         if manifest["bucketed"] is not None or (
             bucket is not None and not manifest["snapshots"]
         ):
+            if manifest["bucketed"] is not None and tag is not None:
+                raise ValueError(
+                    f"append(tag=...) is not supported for bucketed table "
+                    f"{table!r}: tags live in the manifest, which bucketed "
+                    f"appends bypass — guard reads by a round column instead"
+                )
             if manifest["bucketed"] is None:
                 return self.overwrite(table, df, bucket=bucket)
             name = self._register_bucketed(table, manifest)
@@ -191,6 +201,12 @@ class TableStore:
                 .saveAsTable(name)
             )
             return name
+        if bucket is not None:
+            raise ValueError(
+                f"append(bucket=...) against existing plain table {table!r}: "
+                f"the layout would silently differ from the request — "
+                f"overwrite() with bucket= to convert, or append plain"
+            )
         snap = self._new_snap()
         data_dir = os.path.join(self._tdir(table), "data", snap)
         df.write.mode("overwrite").parquet(data_dir)
@@ -199,18 +215,26 @@ class TableStore:
         self._write_manifest(table, manifest)
         return snap
 
-    def overwrite(
+    def stage_overwrite(
         self,
         table: str,
         df: DataFrame,
         bucket: tuple[tuple[str, ...], int] | None = None,
-    ) -> str:
-        """Replace table contents with ``df`` (single-snapshot commit).
-        Writes to a fresh location then flips the manifest, so reading
-        the old generation while writing the new one is safe."""
+        meta: dict | None = None,
+    ) -> dict:
+        """Run the (expensive) data write of an overwrite WITHOUT
+        committing it: readers keep seeing the old generation until
+        ``commit_staged`` flips the manifest (one atomic rename). This
+        is how the crawl round orders its commits — the frontier's data
+        job runs concurrently with the results/seen appends, but its
+        commit happens strictly after theirs, making the frontier flip
+        the round's single commit point. A crash between stage and
+        commit leaks only an orphan data dir (never a visible state).
+        """
         old = self._read_manifest(table)
         snap = self._new_snap()
         data_dir = os.path.join(self._tdir(table), "data", snap)
+        token: dict = {"table": table, "old": old, "meta": meta or {}}
         if bucket is not None:
             cols, n = bucket
             gen = (old["bucketed"]["generation"] + 1) if old["bucketed"] else 1
@@ -225,34 +249,65 @@ class TableStore:
                 .format("parquet")
                 .saveAsTable(name)
             )
-            self._write_manifest(
-                table,
-                {
-                    "snapshots": [],
-                    "schema": df.schema.json(),
-                    "bucketed": {
-                        "cols": list(cols),
-                        "n": n,
-                        "generation": gen,
-                        "location": data_dir,
-                    },
+            token["manifest"] = {
+                "snapshots": [],
+                "schema": df.schema.json(),
+                "bucketed": {
+                    "cols": list(cols),
+                    "n": n,
+                    "generation": gen,
+                    "location": data_dir,
                 },
-            )
-            if old["bucketed"]:
-                self._drop_catalog(
-                    self._cat_name(table, old["bucketed"]["generation"])
-                )
-                shutil.rmtree(old["bucketed"]["location"], ignore_errors=True)
-            return name
+                "meta": meta or {},
+            }
+            token["name"] = name
+            return token
         df.write.mode("overwrite").parquet(data_dir)
+        token["manifest"] = {
+            "snapshots": [{"snap": snap, "tag": None}],
+            "schema": df.schema.json(),
+            "bucketed": None,
+            "meta": meta or {},
+        }
+        token["name"] = snap
+        return token
+
+    def commit_staged(self, token: dict) -> str:
+        """Atomically publish a ``stage_overwrite`` result and clean up
+        the previous generation."""
+        table, old = token["table"], token["old"]
+        self._write_manifest(table, token["manifest"])
         if old["bucketed"]:
             self._drop_catalog(self._cat_name(table, old["bucketed"]["generation"]))
             shutil.rmtree(old["bucketed"]["location"], ignore_errors=True)
-        self._write_manifest(
-            table,
-            {"snapshots": [{"snap": snap, "tag": None}], "schema": df.schema.json(), "bucketed": None},
-        )
-        return snap
+        elif token["manifest"]["bucketed"] is not None:
+            # plain → bucketed conversion: old plain snapshots are dead
+            for s in old["snapshots"]:
+                shutil.rmtree(
+                    os.path.join(self._tdir(table), "data", s["snap"]),
+                    ignore_errors=True,
+                )
+        return token["name"]
+
+    def overwrite(
+        self,
+        table: str,
+        df: DataFrame,
+        bucket: tuple[tuple[str, ...], int] | None = None,
+        meta: dict | None = None,
+    ) -> str:
+        """Replace table contents with ``df`` (single-snapshot commit).
+        Writes to a fresh location then flips the manifest, so reading
+        the old generation while writing the new one is safe. ``meta``
+        is an arbitrary JSON dict stored in the manifest (the engine
+        stamps the producing round into it — Iceberg snapshot-summary
+        analog), readable via ``table_meta``."""
+        return self.commit_staged(self.stage_overwrite(table, df, bucket, meta))
+
+    def table_meta(self, table: str) -> dict:
+        """The ``meta`` dict of the table's current generation ({} if
+        absent)."""
+        return self._read_manifest(table).get("meta") or {}
 
     def read(self, table: str, schema: StructType | None = None) -> DataFrame:
         manifest = self._read_manifest(table)
@@ -365,6 +420,54 @@ class TableStore:
                     except Exception:
                         pass
         return total
+
+    def column_max(self, table: str, col: str):
+        """Max value of ``col`` from parquet row-group statistics
+        (driver-side footer read, no Spark job — the Iceberg
+        manifest-stats analog). Returns None for an empty/absent table
+        or when no row group carries stats for the column. The crawl
+        engine uses this to detect half-committed bucketed ``seen``
+        appends on crash recovery (``max(completed_round)``) without
+        scanning data."""
+        import pyarrow.parquet as pq
+
+        manifest = self._read_manifest(table)
+        if manifest["bucketed"] is not None:
+            dirs = [manifest["bucketed"]["location"]]
+        else:
+            dirs = [
+                os.path.join(self._tdir(table), "data", s["snap"])
+                for s in manifest["snapshots"]
+            ]
+        best = None
+        for d in dirs:
+            if not os.path.isdir(d):
+                continue
+            for f in os.listdir(d):
+                if not (
+                    f.endswith(".parquet")
+                    or (f.startswith("part-") and not f.endswith(".crc"))
+                ):
+                    continue
+                try:
+                    md = pq.ParquetFile(os.path.join(d, f)).metadata
+                except Exception:
+                    continue
+                idx = None
+                if md.num_row_groups:
+                    rg0 = md.row_group(0)
+                    for i in range(rg0.num_columns):
+                        if rg0.column(i).path_in_schema == col:
+                            idx = i
+                            break
+                if idx is None:
+                    continue
+                for rgi in range(md.num_row_groups):
+                    st = md.row_group(rgi).column(idx).statistics
+                    if st is not None and st.has_min_max:
+                        if best is None or st.max > best:
+                            best = st.max
+        return best
 
     def snapshots(self, table: str) -> list[str]:
         return [s["snap"] for s in self._read_manifest(table)["snapshots"]]

@@ -182,6 +182,77 @@ def test_salted_admission_equivalent(spark, fixture_dir, tmp_path_factory, seeds
     assert _decisions(eng_s) == _decisions(base)
 
 
+def test_crash_before_frontier_commit_recovers(
+    spark, fixture_dir, tmp_path_factory, seeds, engine_run, monkeypatch
+):
+    """Commit-order contract: results/seen may land before the crash,
+    but the frontier (the round's commit point) did not — re-entry must
+    roll the partials back and replay round 2 to a state identical to
+    the uninterrupted run."""
+    base, _ = engine_run
+    store_dir = tmp_path_factory.mktemp("store_crash1")
+    eng = _mk_engine(spark, fixture_dir, store_dir, seeds, max_rounds=1)
+    eng.run()
+
+    eng2 = _mk_engine(spark, fixture_dir, store_dir, seeds, max_rounds=3)
+    orig = eng2.store.commit_staged
+
+    def boom(token):
+        if token["table"] == "frontier":
+            raise RuntimeError("simulated crash before frontier commit")
+        return orig(token)
+
+    monkeypatch.setattr(eng2.store, "commit_staged", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        eng2.run_round(2)
+    monkeypatch.undo()
+    # the partial state is real: round-2 results and seen rows landed
+    assert int(eng2.store.column_max("seen", "completed_round")) == 2
+    assert (
+        eng2.store.read("results").where(F.col("round") == 2).count() > 0
+    )
+
+    eng3 = _mk_engine(spark, fixture_dir, store_dir, seeds, max_rounds=3)
+    eng3.run(resume=True)
+    assert _seen_set(eng3) == _seen_set(base)
+    assert _decisions(eng3) == _decisions(base)
+
+
+def test_crash_after_frontier_commit_finalizes(
+    spark, fixture_dir, tmp_path_factory, seeds, engine_run, monkeypatch
+):
+    """Crash between the frontier commit point and the metrics commit:
+    results/seen/frontier are complete by the commit order — re-entry
+    must only finalize the metrics row from the committed round_log,
+    not replay the round."""
+    base, _ = engine_run
+    store_dir = tmp_path_factory.mktemp("store_crash2")
+    eng = _mk_engine(spark, fixture_dir, store_dir, seeds, max_rounds=1)
+    eng.run()
+
+    eng2 = _mk_engine(spark, fixture_dir, store_dir, seeds, max_rounds=3)
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash before metrics commit")
+
+    monkeypatch.setattr(eng2, "_commit_metrics", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        eng2.run_round(2)
+    monkeypatch.undo()
+    assert int(eng2.store.table_meta("frontier")["round"]) == 2
+    assert eng2.current_round() == 1  # metrics lost in the crash
+
+    eng3 = _mk_engine(spark, fixture_dir, store_dir, seeds, max_rounds=3)
+    summaries = eng3.run(resume=True)
+    # round 2 was finalized (wall-clock unrecoverable → 0), round 3 ran
+    assert [s["round"] for s in summaries] == [2, 3]
+    assert summaries[0]["wall_seconds"] == 0.0
+    m = eng3.store.read("metrics")
+    assert m.where(F.col("round") == 2).count() > 0
+    assert _seen_set(eng3) == _seen_set(base)
+    assert _decisions(eng3) == _decisions(base)
+
+
 def test_config_validation():
     with pytest.raises(ValueError):
         CrawlConfig(seeds=[]).validate()

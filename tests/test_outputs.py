@@ -64,6 +64,55 @@ def test_label_rows_and_write(results, tmp_path):
     assert {"category", "category_id", "url", "seq_name"} <= set(rec)
 
 
+def test_labels_four_formats_round_trip(results, spark, tmp_path):
+    """json/csv/txt/yaml serialize the SAME rows (reference label
+    formats, builder/_generator.py:896-1040): parse each back and
+    compare the full row set on a shared key projection."""
+    import yaml
+
+    from pixcrawler_spark.outputs import LABEL_COLUMNS
+
+    paths = write_labels(results, str(tmp_path), formats=("json", "csv", "txt", "yaml"))
+
+    def norm(rec: dict) -> tuple:
+        return (
+            str(rec["category"]), int(rec["category_id"]), str(rec["url"]),
+            str(rec["seq_name"]), int(rec["depth"]), int(rec["round"]),
+            int(rec["text_chars"]), int(rec["n_outlinks"]),
+        )
+
+    parsed: dict[str, set] = {}
+    jrecs = [
+        json.loads(line)
+        for f in glob.glob(paths["json"] + "/*.json")
+        for line in open(f)
+    ]
+    parsed["json"] = {norm(r) for r in jrecs}
+    csv_df = spark.read.option("header", True).csv(paths["csv"])
+    parsed["csv"] = {norm(r.asDict()) for r in csv_df.collect()}
+    yrecs = [
+        yaml.safe_load(line)
+        for f in glob.glob(paths["yaml"] + "/part-*")
+        for line in open(f)
+        if line.strip()
+    ]
+    # seq_name is single-quoted in the yaml writer, so '0001' survives
+    # as a string (YAML would otherwise read it as an int)
+    parsed["yaml"] = {norm(r) for r in yrecs}
+    trecs = []
+    for f in glob.glob(paths["txt"] + "/part-*"):
+        for line in open(f):
+            if not line.strip():
+                continue
+            pairs = dict(p.split(": ", 1) for p in line.rstrip("\n").split("\t"))
+            assert set(pairs) == set(LABEL_COLUMNS)
+            trecs.append(pairs)
+    parsed["txt"] = {norm(r) for r in trecs}
+
+    assert parsed["json"]
+    assert parsed["json"] == parsed["csv"] == parsed["txt"] == parsed["yaml"]
+
+
 def test_dataset_report(results):
     rep = dataset_report(results).collect()[0]
     assert rep["n_items"] == rep["n_urls"]  # urls unique across rounds

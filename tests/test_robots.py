@@ -29,9 +29,11 @@ def _oracle(body: str | None) -> tuple[list[str], float | None]:
         if not in_star:
             continue
         if low.startswith("disallow") and ":" in line:
-            p = line.split(":", 1)[1].strip().lstrip("/")
-            if p:
-                prefixes.append(p)
+            v = line.split(":", 1)[1].strip()
+            # RFC 9309: empty value = allow-all (contributes nothing);
+            # "/" = deny-all, kept as the empty-string match-all prefix.
+            if v:
+                prefixes.append(v.lstrip("/"))
         elif low.startswith("crawl-delay") and ":" in line:
             try:
                 d = float(line.split(":", 1)[1].strip())
@@ -57,6 +59,9 @@ BODIES = {
     "User-agent: bing\nDisallow: /two/\n"
     "User-agent: *\nCrawl-delay: 3\nDisallow: /three/",
     "case.example": "USER-AGENT: *\nDISALLOW: /Upper/\nCRAWL-DELAY: 1.5",
+    "deny-all.example": "User-agent: *\nDisallow: /",
+    "deny-all-mixed.example": "User-agent: *\nDisallow: /a/\nDisallow: /\n"
+    "Disallow:\nCrawl-delay: 1",
 }
 
 
@@ -99,6 +104,32 @@ def test_feeds_politeness(spark):
         "https://d.example/private/x": True,
         "https://d.example/public/y": False,
     }
+
+
+def test_deny_all_denies_every_path(spark):
+    """``Disallow: /`` (RFC deny-all) must deny every url on the
+    domain, including the root — the most common robots rule."""
+    from pyspark.sql import functions as F
+
+    from pixcrawler_spark.operators import politeness as pol
+
+    rules = parse_robots(
+        spark.createDataFrame(
+            [("closed.example", "User-agent: *\nDisallow: /")],
+            "domain string, robots_txt string",
+        )
+    ).withColumn("max_per_round", F.lit(10).cast("int"))
+    assert rules.collect()[0]["disallow_prefixes"] == [""]
+    cand = spark.createDataFrame(
+        [
+            ("https://closed.example/", "closed.example"),
+            ("https://closed.example", "closed.example"),
+            ("https://closed.example/any/path", "closed.example"),
+        ],
+        "url string, domain string",
+    )
+    decided = pol.with_robots_decision(cand, rules).collect()
+    assert all(r["robots_denied"] for r in decided), decided
 
 
 def test_no_python_in_plan(spark):
