@@ -8,36 +8,121 @@ each Python worker sees columnar batches, decode libraries never run
 on the driver, and partition sizing (maxPartitionBytes) bounds worker
 memory.
 
-The decode step itself is STUBBED in this sandbox (no PIL/ffmpeg in
-the container): ``decode_image_batch`` raises NotImplementedError
-unless ``deterministic_fake=True``, in which case it derives plausible
-metadata purely from the bytes (length/first-bytes) so the Spark-side
-plumbing — schema, batching, partitioning, UDF signature — is real and
-tested end-to-end. Swapping in a real decoder touches ONLY the body of
-`_decode_one`.
+Decode is REAL for uncompressed 24-bit BMP (a ~40-line numpy parser —
+no codec library needed): actual width/height/validity from the
+header + pixel data, plus the reference's 8×8 perceptual aHash
+(validator/integrity.py:108-127,172-215: grayscale → 8×8 downsample →
+mean threshold, '1' iff px >= avg, MSB-first row-major → 16 hex,
+zero-padded). One deliberate deviation: the 8×8 downsample is an
+exact area mean (integral image) instead of PIL's LANCZOS resample —
+same hash family, deterministic without PIL. Compressed formats
+(png/jpeg) still need PIL/ffmpeg, which this container lacks: they
+raise NotImplementedError unless ``deterministic_fake=True`` (sniffed
+metadata only). Swapping in PIL touches ONLY `_decode_one`.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 DECODED_FIELDS = (
     "media_id bigint, kind string, n_bytes bigint, format string, "
     "width int, height int, duration_s double, is_valid boolean, "
-    "content_sha256 string"
+    "content_sha256 string, ahash string"
 )
 
 _MAGIC = {
     b"\x89PNG": "png",
     b"\xff\xd8\xff": "jpeg",
+    b"BM": "bmp",
     b"RIFF": "wav",
     b"GIF8": "gif",
 }
+
+
+# -- BMP codec (pure numpy/struct; 24bpp uncompressed) -------------------------
+def bmp_encode(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → 24-bit uncompressed BMP bytes (bottom-up,
+    BGR, rows padded to 4). Used by fixtures and the aHash oracle
+    query to synthesize real decodable images without a codec lib."""
+    h, w, _ = pixels.shape
+    row_bytes = (w * 3 + 3) & ~3
+    img_size = row_bytes * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    rows = np.zeros((h, row_bytes), dtype=np.uint8)
+    rows[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    return header + info + rows.tobytes()
+
+
+def _decode_bmp(payload: bytes):
+    """24bpp BMP → (width, height, grayscale float64 (h, w)) or None if
+    the bytes are corrupt/truncated/unsupported — the corruption
+    predicate (reference PIL verify, validator/integrity.py:473-498)."""
+    try:
+        if len(payload) < 54 or payload[:2] != b"BM":
+            return None
+        _, _, _, _, offset = struct.unpack_from("<2sIHHI", payload, 0)
+        (hdr_sz, w, h_raw, planes, bpp, compression) = struct.unpack_from(
+            "<IiiHHI", payload, 14
+        )
+        if hdr_sz < 40 or planes != 1 or bpp != 24 or compression != 0:
+            return None
+        h = abs(h_raw)
+        if w <= 0 or h <= 0 or w > 1 << 16 or h > 1 << 16:
+            return None
+        row_bytes = (w * 3 + 3) & ~3
+        if offset + row_bytes * h > len(payload):
+            return None  # truncated pixel data
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=row_bytes * h, offset=offset
+        ).reshape(h, row_bytes)
+        bgr = rows[:, : w * 3].reshape(h, w, 3)
+        if h_raw > 0:  # bottom-up storage
+            bgr = bgr[::-1]
+        rgb = bgr[:, :, ::-1].astype(np.float64)
+        # ITU-R 601 luma (PIL convert("L") weights)
+        gray = rgb[:, :, 0] * 0.299 + rgb[:, :, 1] * 0.587 + rgb[:, :, 2] * 0.114
+        return w, h, gray
+    except Exception:
+        return None
+
+
+def _block_means(gray: np.ndarray, n: int = 8) -> np.ndarray:
+    """Exact area-mean n×n downsample via integral image (vectorized;
+    nearest-neighbor fallback for images smaller than n×n)."""
+    h, w = gray.shape
+    if h < n or w < n:
+        yi = np.minimum((np.arange(n) * h) // n, h - 1)
+        xi = np.minimum((np.arange(n) * w) // n, w - 1)
+        return gray[np.ix_(yi, xi)]
+    ys = (np.arange(n + 1) * h) // n
+    xs = (np.arange(n + 1) * w) // n
+    cp = np.zeros((h + 1, w + 1))
+    cp[1:, 1:] = gray.cumsum(0).cumsum(1)
+    s = cp[np.ix_(ys, xs)]
+    sums = s[1:, 1:] - s[:-1, 1:] - s[1:, :-1] + s[:-1, :-1]
+    return sums / np.outer(np.diff(ys), np.diff(xs))
+
+
+def ahash8(gray: np.ndarray, hash_size: int = 8) -> str:
+    """Perceptual average-hash, reference semantics
+    (validator/integrity.py:172-215): downsample to hash_size², '1'
+    iff px >= mean, binary MSB-first row-major, hex zero-padded to
+    hash_size²/4 chars."""
+    blocks = _block_means(gray, hash_size)
+    bits = (blocks >= blocks.mean()).astype(np.uint8).ravel()
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return format(val, f"0{hash_size * hash_size // 4}x")
 
 
 def _sniff_format(payload: bytes) -> str:
@@ -48,23 +133,41 @@ def _sniff_format(payload: bytes) -> str:
 
 
 def _decode_one(payload: bytes | None, kind: str, deterministic_fake: bool) -> dict:
-    """Stub decode. A production build replaces this body with
-    PIL.Image.open/verify (images), soundfile/ffprobe (audio/video) —
-    reference semantics: validator/integrity.py:473-498 (verify) and
-    :462-471 (dimension extraction)."""
+    """Per-item decode. BMP is decoded for REAL (header + pixels +
+    perceptual aHash — reference semantics validator/integrity.py:
+    108-127,462-498); compressed formats need PIL/ffmpeg, absent here,
+    so they keep the declared stub boundary (NotImplementedError
+    without ``deterministic_fake``)."""
     if payload is None:
         return {
             "n_bytes": 0, "format": None, "width": None, "height": None,
             "duration_s": None, "is_valid": False, "content_sha256": None,
+            "ahash": None,
+        }
+    payload = bytes(payload)
+    fmt = _sniff_format(payload)
+    if kind == "image" and fmt == "bmp":
+        sha = hashlib.sha256(payload).hexdigest()
+        dec = _decode_bmp(payload)
+        if dec is None:  # corrupt/truncated → the corruption predicate
+            return {
+                "n_bytes": len(payload), "format": "bmp", "width": None,
+                "height": None, "duration_s": None, "is_valid": False,
+                "content_sha256": sha, "ahash": None,
+            }
+        w, h, gray = dec
+        return {
+            "n_bytes": len(payload), "format": "bmp", "width": w,
+            "height": h, "duration_s": None, "is_valid": True,
+            "content_sha256": sha, "ahash": ahash8(gray),
         }
     if not deterministic_fake:
         raise NotImplementedError(
-            "media decode requires PIL/ffmpeg (not in this sandbox); "
-            "pass deterministic_fake=True for the plumbing path"
+            "non-BMP media decode requires PIL/ffmpeg (not in this "
+            "sandbox); pass deterministic_fake=True for the plumbing path"
         )
     h = hashlib.sha256(payload).hexdigest()
     seed = int(h[:8], 16)
-    fmt = _sniff_format(payload)
     valid = fmt != "unknown" and len(payload) >= 16
     return {
         "n_bytes": len(payload),
@@ -74,6 +177,7 @@ def _decode_one(payload: bytes | None, kind: str, deterministic_fake: bool) -> d
         "duration_s": round((seed % 36000) / 100.0, 2) if kind in ("audio", "video") else None,
         "is_valid": valid,
         "content_sha256": h,
+        "ahash": None,
     }
 
 
@@ -96,6 +200,43 @@ def decode_media(df: DataFrame, deterministic_fake: bool = False) -> DataFrame:
             yield out
 
     return df.mapInPandas(gen, DECODED_FIELDS)
+
+
+def media_dup_decision(decoded: DataFrame) -> DataFrame:
+    """Exact-beats-perceptual dedup merge (reference
+    validator/integrity.py:389-426: content-hash duplicates are removed
+    FIRST; perceptual groups are formed over the exact-keepers only, so
+    an exact duplicate is never double-counted as perceptual).
+
+    Appends ``dup_decision`` ∈ {keep, duplicate_exact,
+    duplicate_perceptual}: keep-first (min media_id) per content hash;
+    among those keepers, keep-first per aHash. Rows without a hash
+    (invalid/undecodable) are kept — they can't be judged, matching
+    the reference's skip-on-unprocessable.
+
+    Scale: two window ranks over hash keys — both uniform (crypto /
+    64-bit hashes), both map-side-combinable by WindowGroupLimit when
+    filtered to rank 1, no broadcast, no driver state."""
+    w_exact = Window.partitionBy("content_sha256").orderBy("media_id")
+    exact_rank = F.row_number().over(w_exact)
+    ranked = decoded.withColumn(
+        "_exact_dup",
+        F.col("content_sha256").isNotNull() & (exact_rank > 1),
+    )
+    # rank perceptual ONLY over exact-keepers: exact dups get null key
+    # so they never occupy a perceptual slot
+    keeper_hash = F.when(~F.col("_exact_dup"), F.col("ahash"))
+    w_percep = Window.partitionBy(keeper_hash).orderBy("media_id")
+    percep_rank = F.row_number().over(w_percep)
+    decision = (
+        F.when(F.col("_exact_dup"), "duplicate_exact")
+        .when(
+            F.col("ahash").isNotNull() & (percep_rank > 1),
+            "duplicate_perceptual",
+        )
+        .otherwise("keep")
+    )
+    return ranked.withColumn("dup_decision", decision).drop("_exact_dup")
 
 
 def validity_filter(decoded: DataFrame, min_w: int = 50, min_h: int = 50) -> DataFrame:

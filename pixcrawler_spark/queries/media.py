@@ -1,0 +1,105 @@
+"""Media queries: the REAL image decode + perceptual-aHash path under
+the driver's DuckDB oracle.
+
+SQL cannot decode a BMP, so the oracle works by construction: each
+document gets a synthetic 64×64 BMP whose 8×8 blocks encode the bits
+of ``md5(doc_id % K)`` (bit=1 → block value 200, bit=0 → 40). The
+true average-hash of that image IS those 64 bits — every 200-block
+sits above the global mean, every 40-block below (degenerate all-
+same-bit md5 prefixes don't occur for K=300, asserted in pytest) — so
+the expected hash is expressible in SQL as
+``substring(md5(...), 1, 16)`` while the Spark side must EARN it by
+synthesizing the BMP bytes, parsing them back with the real numpy
+decoder, and hashing the pixels (operators/multimodal.py). A bug
+anywhere in encode, decode, grayscale, block-mean, threshold or
+bit-packing breaks the match.
+
+Reference parity: perceptual aHash dedup, validator/integrity.py:
+108-127,172-215 (hash) and 389-426 (grouping).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pixcrawler_spark.queries.registry import register
+from pixcrawler_spark.sources.tables import load_table
+
+N_GROUPS = 300  # doc_id % N_GROUPS documents share one image pattern
+
+
+def pattern_bmp(group: int) -> bytes:
+    """Deterministic 64×64 BMP whose aHash equals the first 16 hex
+    chars of md5(str(group))."""
+    from pixcrawler_spark.operators.multimodal import bmp_encode
+
+    digest = hashlib.md5(str(int(group)).encode()).digest()
+    bits = np.unpackbits(np.frombuffer(digest[:8], dtype=np.uint8))
+    blocks = np.where(bits, 200, 40).astype(np.uint8).reshape(8, 8)
+    px = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+    return bmp_encode(np.stack([px, px, px], axis=-1))
+
+
+def documents_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (media_id, kind, payload) with synthesized BMPs,
+    via an Arrow-batched mapInPandas (the payload never exists on the
+    driver)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % N_GROUPS).alias("g")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[int, bytes] = {}
+        for pdf in batches:
+            payloads = [
+                cache.setdefault(int(g), pattern_bmp(int(g))) for g in pdf["g"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "image",
+                    "payload": payloads,
+                }
+            )
+
+    return d.mapInPandas(gen, "media_id bigint, kind string, payload binary")
+
+
+@register(
+    "dedup_perceptual_ahash",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT doc_id,
+             substring(md5(CAST(doc_id % {N_GROUPS} AS VARCHAR)), 1, 16) AS ahash
+      FROM documents
+    )
+    SELECT ahash,
+           CAST(count(*) AS BIGINT) AS n_dups,
+           min(doc_id) AS canonical_doc
+    FROM hashed GROUP BY ahash HAVING count(*) > 1
+    """,
+    doc="Perceptual-duplicate groups via the REAL image path: "
+    "synthesize BMP bytes per document, decode them with the numpy BMP "
+    "parser, compute the reference 8×8 mean-threshold aHash "
+    "(validator/integrity.py:108-127,172-215), group by hash and keep "
+    "groups >1 with the min-id canonical (the keep-first rule, "
+    "validator/integrity.py:389-426).",
+)
+def dedup_perceptual_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pixcrawler_spark.operators.multimodal import decode_media
+
+    decoded = decode_media(documents_as_media(spark, sf_dir))
+    return (
+        decoded.groupBy("ahash")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("media_id").alias("canonical_doc"),
+        )
+        .where(F.col("n_dups") > 1)
+    )

@@ -94,6 +94,141 @@ def test_validity_and_frame_sampling(media):
     assert all(abs(r["frame_ts_s"] - i * 1.0) < 1e-9 for i, r in enumerate(fr))
 
 
+# -- real BMP decode + perceptual aHash ---------------------------------------
+def _naive_ahash(pixels) -> str:
+    """Independent straight-line oracle for the average hash
+    (reference algorithm validator/integrity.py:172-215): grayscale,
+    8×8 area mean via explicit loops, >= mean threshold, binary
+    string → hex zfill(16)."""
+    h = len(pixels)
+    w = len(pixels[0])
+    gray = [
+        [
+            0.299 * px[0] + 0.587 * px[1] + 0.114 * px[2]
+            for px in row
+        ]
+        for row in pixels
+    ]
+    blocks = []
+    for bi in range(8):
+        for bj in range(8):
+            y0, y1 = bi * h // 8, (bi + 1) * h // 8
+            x0, x1 = bj * w // 8, (bj + 1) * w // 8
+            vals = [gray[y][x] for y in range(y0, y1) for x in range(x0, x1)]
+            blocks.append(sum(vals) / len(vals))
+    avg = sum(blocks) / 64
+    binary = "".join("1" if b >= avg else "0" for b in blocks)
+    return hex(int(binary, 2))[2:].zfill(16)
+
+
+def test_bmp_roundtrip_and_ahash_vs_naive_oracle():
+    from pixcrawler_spark.operators.multimodal import (
+        _decode_bmp,
+        ahash8,
+        bmp_encode,
+    )
+
+    rng = np.random.default_rng(7)
+    for h, w in [(64, 64), (40, 56), (9, 33), (8, 8)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        blob = bmp_encode(px)
+        dec = _decode_bmp(blob)
+        assert dec is not None
+        gw, gh, gray = dec
+        assert (gw, gh) == (w, h)
+        expect_gray = (
+            px[..., 0] * 0.299 + px[..., 1] * 0.587 + px[..., 2] * 0.114
+        )
+        assert np.allclose(gray, expect_gray)
+        assert ahash8(gray) == _naive_ahash(px.tolist())
+
+
+def test_bmp_corruption_predicate():
+    from pixcrawler_spark.operators.multimodal import _decode_bmp, bmp_encode
+
+    px = np.full((16, 16, 3), 128, dtype=np.uint8)
+    good = bmp_encode(px)
+    assert _decode_bmp(good) is not None
+    assert _decode_bmp(good[: len(good) // 2]) is None  # truncated pixels
+    assert _decode_bmp(b"BM" + b"\x00" * 20) is None  # truncated header
+    assert _decode_bmp(b"not a bmp at all") is None
+
+
+def test_pattern_bmp_hash_matches_md5_prefix():
+    """The oracle-by-construction identity behind dedup_perceptual_ahash:
+    aHash(pattern_bmp(g)) == md5(str(g))[:16], for every group the
+    driver query can produce — also proves no md5 prefix is degenerate
+    (all-same bits) for K=300."""
+    import hashlib
+
+    from pixcrawler_spark.operators.multimodal import _decode_bmp, ahash8
+    from pixcrawler_spark.queries.media import N_GROUPS, pattern_bmp
+
+    for g in range(N_GROUPS):
+        expect = hashlib.md5(str(g).encode()).hexdigest()[:16]
+        bits = bin(int(expect, 16))[2:]
+        assert "0" in bits.zfill(64) and "1" in bits, g  # non-degenerate
+        w, h, gray = _decode_bmp(pattern_bmp(g))
+        assert (w, h) == (64, 64)
+        assert ahash8(gray) == expect, g
+
+
+def test_bmp_decodes_without_fake_flag(spark):
+    """BMP is the REAL decode path — no deterministic_fake needed."""
+    from pixcrawler_spark.operators.multimodal import bmp_encode
+    from pixcrawler_spark.schemas import MEDIA_SCHEMA
+
+    px = np.zeros((60, 80, 3), dtype=np.uint8)
+    px[:, :, 1] = 200
+    rows = [(1, "image", bmp_encode(px), {}, None)]
+    out = decode_media(spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()[0]
+    assert out["format"] == "bmp" and out["is_valid"]
+    assert (out["width"], out["height"]) == (80, 60)
+    assert out["ahash"] is not None and len(out["ahash"]) == 16
+
+
+def test_media_dup_exact_beats_perceptual(spark):
+    """Reference merge semantics (validator/integrity.py:389-426):
+    exact duplicates removed first; perceptual groups formed over the
+    exact-keepers only."""
+    from pixcrawler_spark.operators.multimodal import (
+        bmp_encode,
+        media_dup_decision,
+    )
+    from pixcrawler_spark.schemas import MEDIA_SCHEMA
+
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 2, size=(8, 8), dtype=np.uint8) * 160 + 40
+    big = np.repeat(np.repeat(base, 8, 0), 8, 1)
+    img_a = np.stack([big] * 3, axis=-1).astype(np.uint8)
+    # same block pattern, tiny per-pixel noise → same aHash, new bytes
+    noise = rng.integers(-5, 6, size=big.shape)
+    img_c = np.clip(big.astype(int) + noise, 0, 255).astype(np.uint8)
+    img_c = np.stack([img_c] * 3, axis=-1)
+    other = np.repeat(np.repeat(255 - base, 8, 0), 8, 1)
+    img_d = np.stack([other] * 3, axis=-1).astype(np.uint8)
+
+    rows = [
+        (1, "image", bmp_encode(img_a), {}, None),  # keep (canonical)
+        (2, "image", bmp_encode(img_a), {}, None),  # exact dup of 1
+        (3, "image", bmp_encode(img_c), {}, None),  # perceptual dup of 1
+        (4, "image", bmp_encode(img_d), {}, None),  # unique
+        (5, "image", b"BM broken", {}, None),       # invalid → keep
+    ]
+    decoded = decode_media(spark.createDataFrame(rows, MEDIA_SCHEMA))
+    got = {
+        r["media_id"]: r["dup_decision"]
+        for r in media_dup_decision(decoded).collect()
+    }
+    assert got == {
+        1: "keep",
+        2: "duplicate_exact",
+        3: "duplicate_perceptual",
+        4: "keep",
+        5: "keep",
+    }
+
+
 def test_resize_plan(spark):
     from pixcrawler_spark.operators.multimodal import resize_plan
 
