@@ -31,6 +31,7 @@ HEADLINE = [
     "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard_pairs",
     "dedup_simhash",
+    "dedup_simhash_hamming",
     "dedup_perceptual_ahash",
     "ann_cosine_topk",
     "ann_srp_lsh_topk",

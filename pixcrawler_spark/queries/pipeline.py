@@ -18,7 +18,11 @@ NUM_HASHES = 8
 BAND_SIZE = 2
 SHINGLE_N = 3
 JACCARD_THRESHOLD = 0.5
+JACCARD_MAX_DF = 64  # shingles in > this many docs never become join keys
 SIMHASH_DIMS = 16
+SIMHASH64_DIMS = 64  # the at-scale fingerprint width
+SIMHASH_MAX_HAMMING = 3
+SIMHASH_BANDS = 4  # > max_hamming → banding is exact by pigeonhole
 COSINE_THRESHOLD = 0.2  # blocked near-dup threshold (synthetic embeddings)
 
 # ---------------------------------------------------------------------------
@@ -133,25 +137,53 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_SHINGLES_CTE},
     dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM dsh GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-      FROM dsh a JOIN dsh b ON a.shingle = b.shingle
+    hot AS (
+      SELECT shingle FROM (
+        SELECT shingle, count(*) AS df FROM dsh GROUP BY shingle
+      ) WHERE df > {JACCARD_MAX_DF}
+    ),
+    joinable AS (
+      SELECT doc_id, shingle FROM dsh
+      WHERE shingle NOT IN (SELECT shingle FROM hot)
+    ),
+    pre AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY md5(shingle), shingle) AS rk,
+               count(*) OVER (PARTITION BY doc_id) AS nj
+        FROM joinable
+      ) WHERE rk <= nj - ceil({JACCARD_THRESHOLD} * nj) + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM pre a JOIN pre b ON a.shingle = b.shingle
       WHERE a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
+    ),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_inter
+      FROM cand c
+      JOIN dsh da ON da.doc_id = c.id_a
+      JOIN dsh db ON db.doc_id = c.id_b AND db.shingle = da.shingle
+      GROUP BY c.id_a, c.id_b
     )
-    SELECT id_a, id_b,
+    SELECT i.id_a, i.id_b,
            round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = id_a
-    JOIN sizes sb ON sb.doc_id = id_b
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
     WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) >= {JACCARD_THRESHOLD}
     """,
-    doc="n-gram Jaccard near-dup pairs via distinct-shingle equi-join.",
+    doc="n-gram Jaccard near-dup pairs, PPJoin-style: df-capped "
+    f"(> {JACCARD_MAX_DF} docs → boilerplate, never a join key) + "
+    "prefix-filtered candidates, exact full-set verify "
+    "(operators/dedup.py ngram_jaccard_pairs).",
 )
 def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(
-        d, "doc_id", "text", n=SHINGLE_N, threshold=JACCARD_THRESHOLD
+        d, "doc_id", "text", n=SHINGLE_N, threshold=JACCARD_THRESHOLD,
+        max_df=JACCARD_MAX_DF,
     )
 
 
@@ -176,6 +208,55 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return dedup.simhash_fingerprints(d, "doc_id", "text", dims=SIMHASH_DIMS)
+
+
+def _sql_vote64(d: int) -> str:
+    pos, bit = dedup.simhash_dim_nibble(d)
+    nibs = ", ".join(f"'{c}'" for c in dedup._BIT_NIBBLES[bit])
+    return (
+        f"sum(CASE WHEN substr(h, {pos + 1}, 1) IN ({nibs}) "
+        f"THEN 1 ELSE -1 END) AS v_{d}"
+    )
+
+
+_VOTE64_COLS = ",\n           ".join(_sql_vote64(d) for d in range(SIMHASH64_DIMS))
+_BIT64_CONCAT = " || ".join(
+    f"(CASE WHEN v_{d} > 0 THEN '1' ELSE '0' END)" for d in range(SIMHASH64_DIMS)
+)
+
+
+@register(
+    "dedup_simhash_hamming",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    hashed AS (SELECT doc_id, md5(tok) AS h FROM tok),
+    votes AS (
+      SELECT doc_id,
+           {_VOTE64_COLS}
+      FROM hashed GROUP BY doc_id
+    ),
+    fps AS (SELECT doc_id, {_BIT64_CONCAT} AS simhash FROM votes)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(hamming(a.simhash, b.simhash) AS BIGINT) AS hamming
+    FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+    WHERE hamming(a.simhash, b.simhash) <= {SIMHASH_MAX_HAMMING}
+    """,
+    doc=f"SimHash near-dup pairs at hamming <= {SIMHASH_MAX_HAMMING} over "
+    f"{SIMHASH64_DIMS}-bit fingerprints via Manku-style "
+    f"{SIMHASH_BANDS}-band candidates (exact by pigeonhole; the oracle "
+    "verifies with a brute-force hamming cross-join, so the banding "
+    "must lose nothing).",
+)
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    fps = dedup.simhash_fingerprints(d, "doc_id", "text", dims=SIMHASH64_DIMS)
+    return dedup.simhash_hamming_pairs(
+        fps, "doc_id", dims=SIMHASH64_DIMS,
+        max_hamming=SIMHASH_MAX_HAMMING, n_bands=SIMHASH_BANDS,
+    )
 
 
 # ---------------------------------------------------------------------------
