@@ -14,5 +14,6 @@ from pixcrawler_spark.queries import crawlops as _crawlops  # noqa: F401
 from pixcrawler_spark.queries import advanced as _advanced  # noqa: F401
 from pixcrawler_spark.queries import scalepath as _scalepath  # noqa: F401
 from pixcrawler_spark.queries import media as _media  # noqa: F401
+from pixcrawler_spark.queries import jobops as _jobops  # noqa: F401
 
 __all__ = ["REGISTRY", "Query", "register"]
