@@ -63,6 +63,40 @@ def cosine_topk(
     )
 
 
+def planes_for(expected_n: int, target_bucket: int = 32) -> int:
+    """Plane count sized from the expected corpus: bucket population is
+    ~n / 2^planes, so ``planes = ceil(log2(n / target_bucket))`` keeps
+    the within-bucket exact-cosine work bounded as the corpus grows
+    (a fixed plane count lets buckets grow linearly with n — the
+    scale hazard this replaces). Pair with ``multiprobe_buckets_expr``
+    to keep recall as planes increase."""
+    import math
+
+    return max(1, math.ceil(math.log2(max(2.0, expected_n / target_bucket))))
+
+
+def multiprobe_buckets_expr(bucket_col: Column, n_planes: int) -> Column:
+    """Multi-probe bucket set: the bucket itself plus every bucket at
+    hamming distance 1 (one flipped plane bit) — n_planes + 1 probes.
+    Standard multi-probe LSH: raising the plane count shrinks buckets
+    but splits near neighbors across adjacent buckets; probing the
+    1-flip neighborhood recovers them at probe cost linear in planes,
+    not exponential."""
+    flips = []
+    for j in range(1, n_planes + 1):
+        flipped_bit = F.when(
+            F.substring(bucket_col, j, 1) == "1", F.lit("0")
+        ).otherwise(F.lit("1"))
+        flips.append(
+            F.concat(
+                F.substring(bucket_col, 1, j - 1),
+                flipped_bit,
+                F.substring(bucket_col, j + 1, n_planes - j),
+            )
+        )
+    return F.concat(F.array(bucket_col), F.array(*flips))
+
+
 def srp_bucket_expr(vec_col: str, planes: list[list[float]]) -> Column:
     """Sign-random-projection bucket id: one bit per hyperplane (the
     sign of the dot product), concatenated to a bit-string key."""

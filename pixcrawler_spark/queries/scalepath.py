@@ -30,7 +30,15 @@ from pixcrawler_spark.queries.registry import register
 from pixcrawler_spark.sources.tables import load_table
 
 EMB_DIM = 64
-N_PLANES = 4
+# Plane count DERIVED from the expected corpus, not a fixed literal
+# (similarity.planes_for): bucket population ~ n / 2^planes. The
+# registered-query constants document the derivation — the oracle SQL
+# is static text, so the expectation is a declared constant, not a
+# runtime count; re-derive when pointing the query at a new corpus
+# scale. EXPECTED_N=512 ≈ the embeddings table at the driver's sf0.01.
+EXPECTED_N = 512
+N_PLANES = similarity.planes_for(EXPECTED_N, target_bucket=32)  # = 4
+N_PLANES_FINE = similarity.planes_for(EXPECTED_N, target_bucket=8)  # = 6
 SKETCH_K = 5
 
 
@@ -44,7 +52,7 @@ def _plane(p: int) -> list[float]:
     ]
 
 
-PLANES = [_plane(p) for p in range(N_PLANES)]
+PLANES = [_plane(p) for p in range(max(N_PLANES, N_PLANES_FINE))]
 
 
 def _sql_plane_bit(p: int) -> str:
@@ -56,7 +64,11 @@ def _sql_plane_bit(p: int) -> str:
     return f"CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END"
 
 
-_SQL_BUCKET = " || ".join(_sql_plane_bit(p) for p in range(N_PLANES))
+def _sql_bucket(n_planes: int) -> str:
+    return " || ".join(_sql_plane_bit(p) for p in range(n_planes))
+
+
+_SQL_BUCKET = _sql_bucket(N_PLANES)
 
 
 @register(
@@ -80,7 +92,7 @@ def ann_srp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed = e.select(
         "vec_id",
         "embedding",
-        similarity.srp_bucket_expr("embedding", PLANES).alias("bucket"),
+        similarity.srp_bucket_expr("embedding", PLANES[:N_PLANES]).alias("bucket"),
     )
     q = bucketed.where(F.col("vec_id") == 0).select(
         F.col("embedding").alias("vq"), F.col("bucket").alias("qb")
@@ -92,6 +104,110 @@ def ann_srp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+@register(
+    "ann_srp_multiprobe_topk",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {_sql_bucket(N_PLANES_FINE)} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT embedding AS vq, bucket AS qb FROM b WHERE vec_id = 0),
+    probes AS (
+      SELECT vq,
+             list_prepend(qb, list_transform(range(1, {N_PLANES_FINE + 1}),
+               j -> substring(qb, 1, j - 1)
+                    || (CASE WHEN substring(qb, j, 1) = '1' THEN '0' ELSE '1' END)
+                    || substring(qb, j + 1, {N_PLANES_FINE} - j))) AS pb
+      FROM q
+    )
+    SELECT b.vec_id AS vec_id, {_sql_cos('b.embedding', 'vq')} AS cosine
+    FROM b, probes WHERE list_contains(pb, b.bucket)
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+    doc=f"Multi-probe SRP ANN at the finer {N_PLANES_FINE}-plane "
+    "resolution: probe the query bucket plus every hamming-1 neighbor "
+    "(one flipped plane bit) — smaller buckets for corpus growth, "
+    "recall recovered at probe cost linear in plane count.",
+)
+def ann_srp_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    bucketed = e.select(
+        "vec_id",
+        "embedding",
+        similarity.srp_bucket_expr(
+            "embedding", PLANES[:N_PLANES_FINE]
+        ).alias("bucket"),
+    )
+    q = bucketed.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("vq"),
+        similarity.multiprobe_buckets_expr(
+            F.col("bucket"), N_PLANES_FINE
+        ).alias("pb"),
+    )
+    cos = F.round(similarity.cosine_expr(F.col("embedding"), F.col("vq")), 6)
+    return (
+        bucketed.join(
+            F.broadcast(q), F.array_contains(F.col("pb"), F.col("bucket"))
+        )
+        .select("vec_id", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "ann_srp_bucket_stats",
+    oracle=f"""
+    WITH b4 AS (
+      SELECT {_sql_bucket(N_PLANES)} AS bucket, count(*) AS n
+      FROM embeddings GROUP BY 1
+    ),
+    b6 AS (
+      SELECT {_sql_bucket(N_PLANES_FINE)} AS bucket, count(*) AS n
+      FROM embeddings GROUP BY 1
+    )
+    SELECT CAST({N_PLANES} AS INT) AS n_planes,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(max(n) AS BIGINT) AS max_occupancy,
+           round(avg(n), 4) AS avg_occupancy
+    FROM b4
+    UNION ALL
+    SELECT CAST({N_PLANES_FINE} AS INT) AS n_planes,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(max(n) AS BIGINT) AS max_occupancy,
+           round(avg(n), 4) AS avg_occupancy
+    FROM b6
+    """,
+    doc="SRP bucket-occupancy telemetry at both registered plane "
+    "counts — the observable that justifies planes_for(): occupancy "
+    "halves per added plane, so within-bucket exact-cosine work stays "
+    "bounded as the corpus grows.",
+)
+def ann_srp_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    outs = []
+    for n_planes in (N_PLANES, N_PLANES_FINE):
+        occ = (
+            e.select(
+                similarity.srp_bucket_expr(
+                    "embedding", PLANES[:n_planes]
+                ).alias("bucket")
+            )
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        outs.append(
+            occ.agg(
+                F.lit(n_planes).cast("int").alias("n_planes"),
+                F.count(F.lit(1)).alias("n_buckets"),
+                F.max("n").alias("max_occupancy"),
+                F.round(F.avg("n"), 4).alias("avg_occupancy"),
+            )
+        )
+    return outs[0].unionByName(outs[1])
 
 
 @register(
