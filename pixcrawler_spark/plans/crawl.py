@@ -353,6 +353,7 @@ class CrawlEngine:
             "engine",
             "score",
             "retry_count",
+            "discovered_round",
             # politeness stamp carried through so retry re-enqueues
             # need no robots re-join
             "robots_denied",
@@ -385,7 +386,7 @@ class CrawlEngine:
         return {
             "results": log.where(~F.col("will_retry")).select(
                 "url", "domain", "warc_ts", "fetch_decision", "depth",
-                "round", "partition_id",
+                "discovered_round", "round", "partition_id",
             ),
             "retry": self._retry_frontier(log, round_no),
             "frontier": self.store.read("frontier", FRONTIER_SCHEMA),
@@ -638,7 +639,7 @@ class CrawlEngine:
                 "results",
                 recorded.select(
                     "url", "domain", "warc_ts", "fetch_decision", "depth",
-                    "round", "partition_id",
+                    "discovered_round", "round", "partition_id",
                 ),
                 tag=f"round-{round_no}",
             )
@@ -795,14 +796,123 @@ class CrawlEngine:
             ),
         }
 
+    # -- workflow control (reference: backend/services/job_orchestrator.py
+    # :427-527 — pause/cancel/recover-from-step; here workflow = crawl,
+    # step = round, state = a tiny atomic control blob) -----------------------
+    CONTROL_BLOB = "crawl_control"
+    MAX_RECOVERY_ATTEMPTS = 3
+
+    def control(self) -> dict:
+        blob = self.store.get_blob(self.CONTROL_BLOB)
+        if blob is None:
+            return {
+                "status": "running",
+                "recovery_attempts": 0,
+                "max_recovery_attempts": self.MAX_RECOVERY_ATTEMPTS,
+            }
+        return blob[1]
+
+    def _set_control(self, **updates) -> dict:
+        c = dict(self.control(), **updates)
+        self.store.put_blob(self.CONTROL_BLOB, b"", c)
+        return c
+
+    def pause(self) -> dict:
+        """Stop the round loop at the next round boundary; state stays
+        resumable (job_orchestrator.pause_workflow analog)."""
+        return self._set_control(status="paused")
+
+    def cancel(self) -> dict:
+        """Permanently stop the crawl; run() refuses until a recover
+        or resume_control (cancel_workflow analog)."""
+        return self._set_control(status="cancelled")
+
+    def resume_control(self) -> dict:
+        return self._set_control(status="running")
+
+    def recover_from_round(self, from_round: int) -> dict:
+        """Roll the crawl back so rounds >= ``from_round`` re-run
+        (recover_workflow's reset-tasks-from-step, re-expressed over
+        the deterministic round state):
+
+        - round->=from_round results/metrics snapshots dropped (tags);
+        - seen rewritten to completed_round < from_round;
+        - the frontier of round from_round-1 is RECONSTRUCTED: rows
+          discovered by rolled-back rounds leave, and every url those
+          rounds decided returns (state re-derived from the decision
+          log via the determinism contract: engine = engines[depth %
+          n], politeness re-stamped). Exact re-execution equivalence
+          holds for max_retries=0 configs (tested); with a retry
+          ladder, in-flight retry state that postdates from_round is
+          re-derived from scratch (retry_count resets — the ladder
+          restarts for those urls).
+
+        Attempts are capped (can_recover gate, max_recovery_attempts).
+        Commit order mirrors run_round: frontier flips LAST.
+        """
+        c = self.control()
+        if c["recovery_attempts"] >= c["max_recovery_attempts"]:
+            raise ValueError(
+                f"workflow cannot be recovered (attempts: "
+                f"{c['recovery_attempts']}/{c['max_recovery_attempts']})"
+            )
+        cur = self.current_round()
+        if not 1 <= from_round <= cur:
+            raise ValueError(f"from_round must be in [1, {cur}], got {from_round}")
+
+        cfg = self.config
+        res = self.store.read("results")
+        # restore ONLY urls whose discovery predates the rollback
+        # point: urls discovered by rolled-back rounds re-enter the
+        # frontier through the replayed rounds' own expansion joins
+        # (restoring them here would let them compete for admission
+        # earlier than they originally could)
+        dropped = res.where(
+            (F.col("round") >= from_round)
+            & (F.col("discovered_round") <= from_round - 1)
+        )
+        engine = _engine_expr(F.col("depth"), cfg.engines)
+        restore = dropped.select(
+            "url",
+            "domain",
+            "depth",
+            engine.alias("engine"),
+            _score_expr(engine).alias("score"),
+            F.lit(0).cast("int").alias("retry_count"),
+            "discovered_round",
+        ).dropDuplicates(["url"])
+        frontier_keep = self.store.read("frontier", FRONTIER_SCHEMA).where(
+            F.col("discovered_round") <= from_round - 1
+        )
+        next_frontier = self._merge_best(
+            frontier_keep, self._with_politeness(restore)
+        )
+        token = self.store.stage_overwrite(
+            "frontier", next_frontier, bucket=self._bucket,
+            meta={"round": from_round - 1},
+        )
+        tags = {f"round-{r}" for r in range(from_round, cur + 1)}
+        self.store.drop_tagged("results", tags)
+        self.store.drop_tagged("metrics", tags)
+        clean_seen = self.store.read("seen", SEEN_SCHEMA).where(
+            F.col("completed_round") < from_round
+        )
+        self.store.overwrite("seen", clean_seen, bucket=self._bucket)
+        self.store.commit_staged(token)
+        return self._set_control(
+            status="running", recovery_attempts=c["recovery_attempts"] + 1
+        )
+
     # -- full crawl ------------------------------------------------------------
     def run(self, resume: bool = False) -> list[dict]:
-        """Run rounds until the frontier drains or max_rounds is hit.
-        ``resume=True`` continues from the last committed round — the
-        checkpoint-equivalence contract (FIXTURES.md §4)."""
+        """Run rounds until the frontier drains, max_rounds is hit, or
+        the control blob says pause/cancel (checked at every round
+        boundary). ``resume=True`` continues from the last committed
+        round — the checkpoint-equivalence contract (FIXTURES.md §4)."""
         if not resume:
             for t in ("frontier", "seen", "results", "metrics", "round_log"):
                 self.store.drop(t)
+            self._set_control(status="running", recovery_attempts=0)
             self.store.overwrite(
                 "frontier", self._seed_frontier(), bucket=self._bucket,
                 meta={"round": 0},
@@ -812,6 +922,8 @@ class CrawlEngine:
             start = self.current_round() + 1
         summaries = []
         for r in range(start, self.config.max_rounds + 1):
+            if self.control()["status"] != "running":
+                break
             if self.store.read("frontier", FRONTIER_SCHEMA).limit(1).count() == 0:
                 break
             summaries.append(self.run_round(r))

@@ -84,6 +84,11 @@ RESULTS_SCHEMA = StructType(
         StructField("warc_ts", TimestampType(), True),
         StructField("fetch_decision", StringType(), False),
         StructField("depth", IntegerType(), False),
+        # discovery lineage: the round that first enqueued this url —
+        # recover_from_round uses it to rebuild the frontier exactly
+        # (urls discovered by rolled-back rounds are re-discovered on
+        # replay, not restored)
+        StructField("discovered_round", IntegerType(), False),
         StructField("round", IntegerType(), False),
         StructField("partition_id", IntegerType(), False),
     ]

@@ -253,6 +253,52 @@ def test_crash_after_frontier_commit_finalizes(
     assert _decisions(eng3) == _decisions(base)
 
 
+def test_pause_cancel_resume(spark, fixture_dir, tmp_path_factory, seeds, engine_run):
+    """Workflow control (job_orchestrator.py:427-527 analog): pause
+    stops at the round boundary and resume_control continues to a
+    state identical to the uninterrupted run; cancel blocks the loop."""
+    base, _ = engine_run
+    store_dir = tmp_path_factory.mktemp("store_ctrl")
+    eng = _mk_engine(spark, fixture_dir, store_dir, seeds, max_rounds=1)
+    eng.run()
+    eng.pause()
+    eng2 = _mk_engine(spark, fixture_dir, store_dir, seeds, max_rounds=3)
+    assert eng2.run(resume=True) == []  # paused → no rounds run
+    eng2.cancel()
+    assert eng2.run(resume=True) == []
+    eng2.resume_control()
+    eng2.run(resume=True)
+    assert _seen_set(eng2) == _seen_set(base)
+    assert _decisions(eng2) == _decisions(base)
+
+
+def test_recover_from_round(spark, fixture_dir, tmp_path_factory, seeds, engine_run):
+    """recover_workflow(from_step) analog: roll back rounds >= N and
+    re-run — deterministic replay reaches the uninterrupted state."""
+    base, _ = engine_run
+    for from_round in (3, 2):
+        store_dir = tmp_path_factory.mktemp(f"store_rec{from_round}")
+        eng = _mk_engine(spark, fixture_dir, store_dir, seeds, max_rounds=3)
+        eng.run()
+        eng.recover_from_round(from_round)
+        assert eng.current_round() == from_round - 1
+        assert eng.control()["recovery_attempts"] == 1
+        eng.run(resume=True)
+        assert _seen_set(eng) == _seen_set(base), from_round
+        assert _decisions(eng) == _decisions(base), from_round
+
+
+def test_recovery_attempts_capped(spark, fixture_dir, tmp_path_factory, seeds):
+    store_dir = tmp_path_factory.mktemp("store_cap")
+    eng = _mk_engine(spark, fixture_dir, store_dir, seeds, max_rounds=1)
+    eng.run()
+    for _ in range(eng.MAX_RECOVERY_ATTEMPTS):
+        eng.recover_from_round(1)
+        eng.run(resume=True)
+    with pytest.raises(ValueError, match="cannot be recovered"):
+        eng.recover_from_round(1)
+
+
 def test_config_validation():
     with pytest.raises(ValueError):
         CrawlConfig(seeds=[]).validate()
