@@ -307,17 +307,37 @@ def resize_plan(
 FEATURE_FIELDS = "media_id bigint, feature array<float>"
 
 
+def bmp_gray_feature(payload: bytes, grid: int = 8) -> list[float] | None:
+    """REAL image feature for decodable BMPs: grid×grid grayscale
+    area-means scaled to [0, 1] — a classic raw-pixel embedding
+    (what the aHash thresholds, kept continuous), cosine-comparable
+    by every downstream ANN operator. None if undecodable."""
+    dec = _decode_bmp(payload)
+    if dec is None:
+        return None
+    _, _, gray = dec
+    blocks = _block_means(gray, grid) / 255.0
+    return [float(round(x, 6)) for x in blocks.ravel()]
+
+
 def feature_extract(
     df: DataFrame, dim: int = 16, deterministic_fake: bool = False
 ) -> DataFrame:
-    """Media → embedding plumbing: binary payload to array<float> via
-    an Arrow-batched pandas UDF (the shape every downstream ANN /
-    near-dup operator consumes — operators/similarity.py). The real
-    model inference replaces `_fake_vec`; schema, batching and the
-    vectorized transport are the production path."""
+    """Media → embedding column via an Arrow-batched pandas UDF (the
+    shape every downstream ANN / near-dup operator consumes —
+    operators/similarity.py).
+
+    BMP payloads get a REAL feature (``bmp_gray_feature``: 8×8
+    grayscale block-means when dim=64, or the square grid matching
+    ``dim``). Other formats need a decoder/model runtime this
+    container lacks: they raise unless ``deterministic_fake=True``
+    (hash-derived vector, plumbing-only)."""
     import hashlib as _hl
 
     import numpy as np
+
+    grid = int(dim ** 0.5)
+    real_grid = grid if grid * grid == dim else None
 
     def _fake_vec(payload: bytes | None) -> list[float]:
         if payload is None:
@@ -328,17 +348,26 @@ def feature_extract(
         v = (v % 2000) / 1000.0 - 1.0
         return [float(round(x, 6)) for x in v]
 
+    def _one(payload) -> list[float]:
+        if payload is not None and real_grid is not None:
+            p = bytes(payload)
+            if _sniff_format(p) == "bmp":
+                feat = bmp_gray_feature(p, real_grid)
+                if feat is not None:
+                    return feat
+        if not deterministic_fake:
+            raise NotImplementedError(
+                "non-BMP feature extraction requires a model runtime; "
+                "pass deterministic_fake=True for the plumbing path"
+            )
+        return _fake_vec(payload)
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not deterministic_fake:
-                raise NotImplementedError(
-                    "feature extraction requires a model runtime; pass "
-                    "deterministic_fake=True for the plumbing path"
-                )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "feature": [_fake_vec(p) for p in pdf["payload"]],
+                    "feature": [_one(p) for p in pdf["payload"]],
                 }
             )
 

@@ -243,6 +243,31 @@ def test_resize_plan(spark):
     assert not got[2]["needs_resize"] and got[2]["target_width"] == 100
 
 
+def test_feature_extract_real_for_bmp(spark):
+    """BMP payloads get a REAL 64-dim grayscale block-mean feature
+    (no fake flag needed); visually-identical images map to nearly
+    identical vectors, different images do not."""
+    import numpy as np
+
+    from pixcrawler_spark.operators.multimodal import bmp_encode, feature_extract
+
+    base = np.full((64, 64), 100, dtype=np.uint8)
+    img1 = np.stack([base] * 3, axis=-1)
+    img2 = np.stack([np.clip(base + 2, 0, 255)] * 3, axis=-1)  # near-identical
+    img3 = np.stack([255 - base] * 3, axis=-1)  # very different
+    media = spark.createDataFrame(
+        [(1, bytearray(bmp_encode(img1))), (2, bytearray(bmp_encode(img2))),
+         (3, bytearray(bmp_encode(img3)))],
+        "media_id long, payload binary",
+    )
+    feats = {r["media_id"]: np.array(r["feature"]) for r in
+             feature_extract(media, dim=64).collect()}
+    assert all(len(v) == 64 for v in feats.values())
+    assert np.allclose(feats[1], 100 / 255.0, atol=1e-6)
+    assert np.abs(feats[1] - feats[2]).max() < 0.01
+    assert np.abs(feats[1] - feats[3]).max() > 0.2
+
+
 def test_feature_extract_plumbing(spark):
     from pixcrawler_spark.operators.multimodal import feature_extract
 
