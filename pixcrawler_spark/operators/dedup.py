@@ -190,27 +190,55 @@ def ngram_jaccard_pairs(
 
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
-    sh = with_shingles(df, id_col, text_col, n).distinct()
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    # The shingle table feeds the df-counter, the prefix branch and the
+    # verify branch; the per-doc sketch feeds prefix + both verify
+    # sides. Without materialization Catalyst re-derives the whole
+    # upstream (explode + distinct + aggregate) once per consumer —
+    # measured 2x the query wall time at sf0.1. persist() is the
+    # in-plan form of what a production pipeline does explicitly:
+    # materialize the per-doc shingle sketch once (like pages_ext) and
+    # reuse it across dedup passes.
+    sh = with_shingles(df, id_col, text_col, n).distinct().persist()
 
-    joinable = sh
     if max_df is not None:
         dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        hot = dfc.where(F.col("df") > max_df).select("shingle")
-        joinable = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        hot = dfc.where(F.col("df") > max_df).select(
+            "shingle", F.lit(True).alias("_hot")
+        )
+        flagged = sh.join(F.broadcast(hot), "shingle", "left").withColumn(
+            "_is_hot", F.col("_hot").isNotNull()
+        )
+    else:
+        flagged = sh.withColumn("_is_hot", F.lit(False))
 
-    w_rank = Window.partitionBy(id_col).orderBy(
-        F.md5("shingle"), F.col("shingle")
-    )
-    w_size = Window.partitionBy(id_col)
-    prefix_len = (
-        F.col("_nj") - F.ceil(F.lit(threshold) * F.col("_nj")) + 1
-    )
-    pre = (
-        joinable.withColumn("_rk", F.row_number().over(w_rank))
-        .withColumn("_nj", F.count(F.lit(1)).over(w_size))
-        .where(F.col("_rk") <= prefix_len)
-        .select(F.col(id_col), "shingle")
+    # ONE per-doc aggregation yields the full sorted set (verify side)
+    # AND the joinable shingles in global-hash order (prefix side) —
+    # no window pass, no second scan of the shingle table
+    per_doc = flagged.groupBy(id_col).agg(
+        F.sort_array(F.collect_set("shingle")).alias("sh_set"),
+        F.count(F.lit(1)).alias("n_sh"),
+        F.sort_array(
+            F.collect_list(
+                F.when(
+                    ~F.col("_is_hot"),
+                    F.struct(
+                        F.md5("shingle").alias("h"),
+                        F.col("shingle").alias("s"),
+                    ),
+                )
+            )
+        ).alias("_jord"),
+    ).persist()
+    nj = F.size("_jord")
+    prefix_len = nj - F.ceil(F.lit(threshold) * nj) + 1
+    pre = per_doc.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.slice("_jord", F.lit(1), prefix_len.cast("int")),
+                lambda x: x["s"],
+            )
+        ).alias("shingle"),
     )
     cand = (
         pre.select(F.col(id_col).alias("id_a"), "shingle")
@@ -220,16 +248,12 @@ def ngram_jaccard_pairs(
         .distinct()
     )
 
-    sets = sh.groupBy(id_col).agg(
-        F.sort_array(F.collect_set("shingle")).alias("sh_set"),
-        F.count(F.lit(1)).alias("n_sh"),
-    )
-    sa = sets.select(
+    sa = per_doc.select(
         F.col(id_col).alias("id_a"),
         F.col("sh_set").alias("set_a"),
         F.col("n_sh").alias("n_a"),
     )
-    sb = sets.select(
+    sb = per_doc.select(
         F.col(id_col).alias("id_b"),
         F.col("sh_set").alias("set_b"),
         F.col("n_sh").alias("n_b"),
@@ -259,28 +283,34 @@ def simhash_fingerprints(
     Returns (id, simhash) where simhash is a ``dims``-char bit string.
     """
     assert 1 <= dims <= 128
-    # one conv() per needed nibble, then cheap shift/mask bit tests —
-    # 4x fewer string ops than a per-dimension substring+IN ladder
-    # (measured 2x on the 64-dim fingerprint); semantics identical to
-    # the oracle's IN-list formulation.
-    n_nibbles = min(32, dims)
+    # The md5 hex is parsed into at most four 32-bit ints (one conv per
+    # 8 hex chars), and every dimension's vote is a pure shift/mask on
+    # those ints — vs one conv+substring per NIBBLE, this is 8x fewer
+    # string ops per token (measured ~3x end-to-end on the 64-dim
+    # fingerprint at sf0.1). Bit values are identical to the oracle's
+    # nibble-IN-list formulation: hex char pos sits at bits
+    # [31-4*(pos%8) .. 28-4*(pos%8)] of chunk pos//8.
+    max_pos = max(simhash_dim_nibble(d)[0] for d in range(dims))
+    n_chunks = max_pos // 8 + 1
     toks = (
         df.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("tok"))
         .select(F.col(id_col), F.md5(F.col("tok")).alias("h"))
         .select(
             F.col(id_col),
             *[
-                F.conv(F.substring("h", p + 1, 1), 16, 10)
-                .cast("int")
-                .alias(f"n_{p}")
-                for p in range(n_nibbles)
+                F.conv(F.substring("h", 8 * k + 1, 8), 16, 10)
+                .cast("bigint")
+                .alias(f"q_{k}")
+                for k in range(n_chunks)
             ],
         )
     )
     votes = []
     for d in range(dims):
         pos, bit = simhash_dim_nibble(d)
-        bit_set = F.shiftright(F.col(f"n_{pos}"), bit).bitwiseAND(1) == 1
+        chunk, j = pos // 8, pos % 8
+        shift = (7 - j) * 4 + bit
+        bit_set = F.shiftright(F.col(f"q_{chunk}"), shift).bitwiseAND(1) == 1
         votes.append(
             F.sum(F.when(bit_set, 1).otherwise(-1)).alias(f"v_{d}")
         )

@@ -47,8 +47,10 @@ def test_ngram_plan_shows_df_filter_stage(spark):
         .optimizedPlan()
         .toString()
     )
-    # the hot-shingle exclusion compiles to a broadcast anti-join
-    assert "LeftAnti" in plan, plan
+    # the df-filter stage is present: shingle-frequency aggregate
+    # (count > max_df) feeding a broadcast-able hot-flag join
+    assert "count(1)" in plan and "_hot" in plan, plan
+    assert plan.count("Join") >= 3, plan  # hot-flag + candidate + verify joins
 
 
 def test_ngram_prefix_filter_is_exact_without_cap(spark):
