@@ -210,6 +210,119 @@ def ann_srp_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return outs[0].unionByName(outs[1])
 
 
+K_CENTROIDS = 8  # IVF coarse-quantizer size (√n-ish at the driver sf)
+NPROBE = 2  # probed inverted lists per query
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS cvec
+      FROM embeddings WHERE vec_id < {K_CENTROIDS}
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, cent_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY {_sql_cos('embedding', 'cvec')} DESC,
+                                         cent_id) AS rk
+      FROM embeddings CROSS JOIN cents
+    ),
+    lists AS (SELECT vec_id, embedding, cent_id FROM assigned WHERE rk = 1),
+    qprobe AS (
+      SELECT cent_id FROM assigned WHERE vec_id = 0 AND rk <= {NPROBE}
+    ),
+    q AS (SELECT embedding AS vq FROM embeddings WHERE vec_id = 0)
+    SELECT l.vec_id AS vec_id, {_sql_cos('l.embedding', 'vq')} AS cosine
+    FROM lists l, q
+    WHERE l.cent_id IN (SELECT cent_id FROM qprobe)
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+    doc=f"IVF-style ANN top-k: {K_CENTROIDS} coarse centroids (first "
+    f"{K_CENTROIDS} vectors as the deterministic codebook), each "
+    "vector assigned to its nearest centroid's inverted list, query "
+    f"probes its {NPROBE} nearest lists, exact cosine within them — "
+    "the second scale-path ANN family next to SRP-LSH (candidates "
+    "shrink by ~nprobe/K; the codebook broadcast is K rows).",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = e.where(F.col("vec_id") < K_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+    )
+    cos_c = F.round(similarity.cosine_expr(F.col("embedding"), F.col("cvec")), 6)
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("_cos_c"), F.asc("cent_id")
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn("_cos_c", cos_c)
+        .withColumn("rk", F.row_number().over(w))
+    )
+    lists = assigned.where(F.col("rk") == 1).select(
+        "vec_id", "embedding", "cent_id"
+    )
+    qprobe = assigned.where(
+        (F.col("vec_id") == 0) & (F.col("rk") <= NPROBE)
+    ).select("cent_id")
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("vq"))
+    cos_q = F.round(similarity.cosine_expr(F.col("embedding"), F.col("vq")), 6)
+    return (
+        lists.join(F.broadcast(qprobe), "cent_id")
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", cos_q.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+# GPT-style pre-tokenization classes: letter runs, digit runs, single
+# punctuation marks — the BPE-input token stream (whitespace-free).
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@register(
+    "text_token_bpe",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS BIGINT)
+             AS n_bpe_tokens,
+           round(CASE WHEN length(trim(text)) = 0 THEN 0.0
+                 ELSE CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS DOUBLE)
+                      / len(regexp_split_to_array(trim(text), '\\s+')) END,
+                 4) AS bpe_per_word
+    FROM documents
+    """,
+    doc="BPE-ish token counting: GPT-style pre-tokenizer classes "
+    "(letter runs / digit runs / single punctuation) counted next to "
+    "whitespace tokens, with the fertility ratio — the standard "
+    "token-budget estimator for training-data pipelines.",
+)
+def text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_ws = F.when(F.length(F.trim("text")) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    )
+    n_bpe = F.regexp_count("text", F.lit(BPE_PATTERN))
+    return d.select(
+        "doc_id",
+        n_ws.cast("long").alias("n_ws_tokens"),
+        n_bpe.cast("long").alias("n_bpe_tokens"),
+        F.round(
+            F.when(n_ws == 0, 0.0).otherwise(
+                n_bpe.cast("double") / n_ws
+            ),
+            4,
+        ).alias("bpe_per_word"),
+    )
+
+
 @register(
     "text_bottomk_sketch",
     oracle=f"""
