@@ -153,6 +153,51 @@ def lsh_candidate_pairs(
     )
 
 
+def minhash_estimated_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    min_est: float = 0.5,
+) -> DataFrame:
+    """The full MinHash dedup pipeline end-to-end: signatures → LSH
+    band candidates → resemblance ESTIMATED from signature agreement
+    (matching components / num_hashes — the classic MinHash estimator,
+    never touching the raw shingle sets again). At corpus scale this
+    is the cheap near-dup path: candidate generation and verification
+    both run on the k-value signatures (fixed-width rows), so the
+    verify join moves k hashes per doc instead of the document text.
+
+    Returns (id_a, id_b, est_jaccard) with est >= min_est.
+    """
+    # signatures feed candidate generation AND both verify sides;
+    # persist so the shingle explode+aggregate runs once (see
+    # ngram_jaccard_pairs for the same materialize-the-sketch note)
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes).persist()
+    cand = lsh_candidate_pairs(sigs, id_col, num_hashes, band_size)
+    sa = sigs.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"sig_{i}").alias(f"a_{i}") for i in range(num_hashes)],
+    )
+    sb = sigs.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"sig_{i}").alias(f"b_{i}") for i in range(num_hashes)],
+    )
+    matches = sum(
+        (F.col(f"a_{i}") == F.col(f"b_{i}")).cast("int")
+        for i in range(num_hashes)
+    )
+    est = F.round(matches / F.lit(float(num_hashes)), 4)
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", est.alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= min_est)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

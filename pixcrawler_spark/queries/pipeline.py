@@ -131,6 +131,51 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SIG_MATCH = " + ".join(
+    f"(CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END)"
+    for i in range(NUM_HASHES)
+)
+
+
+@register(
+    "dedup_minhash_verified_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sigs AS (
+      SELECT doc_id,
+             {_SIG_COLS}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+{_BAND_SELECTS}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           round(({_SIG_MATCH}) / {NUM_HASHES}.0, 4) AS est_jaccard
+    FROM cand c
+    JOIN sigs sa ON sa.doc_id = c.id_a
+    JOIN sigs sb ON sb.doc_id = c.id_b
+    WHERE round(({_SIG_MATCH}) / {NUM_HASHES}.0, 4) >= {JACCARD_THRESHOLD}
+    """,
+    doc="The full MinHash pipeline end-to-end: signatures → LSH band "
+    "candidates → resemblance estimated from signature agreement "
+    "(matching components / k). Verification never re-reads the "
+    "shingle sets — fixed-width signature rows are the only verify "
+    "traffic at corpus scale.",
+)
+def dedup_minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_estimated_pairs(
+        d, "doc_id", "text", n=SHINGLE_N, num_hashes=NUM_HASHES,
+        band_size=BAND_SIZE, min_est=JACCARD_THRESHOLD,
+    )
+
+
 @register(
     "dedup_ngram_jaccard_pairs",
     oracle=f"""
