@@ -143,7 +143,8 @@ def main() -> None:
     )
 
     def reset_state() -> None:
-        for t in ("frontier", "seen", "results", "metrics", "round_log"):
+        for t in ("frontier", "frontier_added", "frontier_removed",
+                  "seen", "results", "metrics", "round_log"):
             store.drop(t)
         store.overwrite("frontier", frontier_df, bucket=(("url",), N_BUCKETS))
         store.overwrite("seen", seen_df, bucket=(("url",), N_BUCKETS))

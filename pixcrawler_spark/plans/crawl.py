@@ -20,26 +20,51 @@ identical results, ordering, and seen set — the pytest oracle
 (tests/oracle.py) re-implements these semantics in straight-line
 pandas and must match exactly.
 
-ARCHITECTURE (v2 — Mercator-style frontier invariant):
+ARCHITECTURE (v3 — Mercator invariant + MERGE-ON-READ frontier):
 
-The frontier table is maintained with the invariant **unique urls,
-disjoint from the seen set** (the reference's progress-cache skip,
+The LOGICAL frontier keeps the invariant **unique urls, disjoint from
+the seen set** (the reference's progress-cache skip,
 builder/progress.py:84-96, enforced at enqueue time instead of per
-round). A round is then two jobs:
+round), but is stored as three url-bucketed tables instead of one
+rewritten blob:
+
+    logical = merge_best(base ANTI removed, added)
+
+- ``frontier`` (base): immutable between compactions;
+- ``frontier_removed``: append-only (url, round) tombstones for every
+  decided url (the Iceberg delete-file analog);
+- ``frontier_added``: the accumulated discovery/retry rows since the
+  last compaction — rewritten each round, but it is delta-sized.
+
+``merge_best`` distributes over per-url anti-joins, so folding each
+round's delta into ``added`` and tombstoning decided urls is EXACTLY
+equivalent to the v2 full rewrite (the pytest oracle + goldens pin
+this). All three tables share the url bucket layout, so the logical
+view is exchange-free: bucketed SMJ anti + co-bucketed full-outer
+merge, no shuffle.
+
+A round is then:
 
 1. DECIDE (the hot path, one linear plan, materialized once as
-   ``round_log``): scan frontier (politeness columns are denormalized
-   into it at enqueue time — no per-round robots join; see
+   ``round_log``): scan the logical frontier (politeness columns are
+   denormalized at enqueue time — no per-round robots join; see
    FRONTIER_SCHEMA) → either record ``robots_denied`` from the stored
    flag, or rank by priority per domain and admit up to the politeness
    capacity → join admitted against the (bucketed) pages table on url
    → fetch-decision CASE. Rows the rank cuts are *politeness stalls*:
    they are simply not in the log and stay in the frontier untouched.
-2. MAINTAIN (deltas only, four CONCURRENT Spark jobs): results/seen
-   appends = scans of the committed log; next frontier = (frontier
-   ANTI log) merged with the deduped, seen-filtered,
-   politeness-stamped discoveries + retry re-enqueues; per-partition
-   metrics.
+2. MAINTAIN (deltas only, CONCURRENT Spark jobs): results/seen/
+   tombstone appends = scans of the committed log; ``added`` is
+   rewritten as merge_best(added ANTI log, deduped seen-filtered
+   politeness-stamped discoveries + retry re-enqueues); per-partition
+   metrics + the logical-count telemetry. NO full-frontier write, NO
+   full-frontier shuffle — only scans (which parallelize) and
+   delta-sized writes.
+3. COMPACT (every ``compact_every`` rounds, idempotent): base :=
+   materialized logical; tombstones/added truncate. A crash anywhere
+   inside compaction leaves the logical view unchanged (merging an
+   already-compacted base with stale deltas is a no-op by
+   construction).
 
 SCALE NOTES (10^10-URL frontier):
 - **No wide shuffle of any static table.** ``seen``, ``pages_ext``
@@ -89,7 +114,7 @@ from pyspark.sql import functions as F
 from pixcrawler_spark.functions.text import map_in_pandas_extract
 from pixcrawler_spark.operators import politeness as pol
 from pixcrawler_spark.operators.seen import anti_join_seen
-from pixcrawler_spark.schemas import FRONTIER_SCHEMA, SEEN_SCHEMA
+from pixcrawler_spark.schemas import FRONTIER_SCHEMA, REMOVED_SCHEMA, SEEN_SCHEMA
 from pixcrawler_spark.sources.tables import TableStore
 
 ENGINE_SCORES = {"google": 1.0, "bing": 0.8, "baidu": 0.6}
@@ -136,6 +161,14 @@ class CrawlConfig:
     # url-hash bucket count for the seen/pages_ext/frontier tables
     # (Iceberg bucket(N, url) in production). Set ≈ total cores.
     n_buckets: int = 32
+    # MERGE-ON-READ frontier: every round appends tombstones for
+    # decided urls and rewrites only the small `frontier_added` table;
+    # the immutable base is re-materialized (compacted) every
+    # ``compact_every`` rounds. Rewriting a 10^10-row frontier to
+    # remove a politeness-bounded (~10^6-10^7) delta each round is the
+    # one full-table write the v2 design still had; amortizing it
+    # 1/compact_every is the Iceberg delete-file/compaction pattern.
+    compact_every: int = 8
 
     def validate(self) -> None:
         if not self.seeds:
@@ -245,6 +278,34 @@ class CrawlEngine:
             )
         return self.static_store.read("pages_ext")
 
+    # -- merge-on-read frontier view ------------------------------------------
+    FRONTIER_TABLES = ("frontier", "frontier_added", "frontier_removed")
+
+    def logical_frontier(self, as_of_round: int | None = None) -> DataFrame:
+        """The live frontier: merge_best(base ANTI removed, added).
+
+        ``as_of_round`` filters tombstones to ``round < as_of_round``,
+        which makes the view IMMUNE to a concurrent (or crashed)
+        round-N tombstone append — the same guard trick the seen reads
+        use (completed_round < N). All three tables are url-bucketed:
+        the anti-join and the full-outer merge are co-partitioned SMJs
+        with no exchange."""
+        base = self.store.read("frontier", FRONTIER_SCHEMA)
+        has_removed = self.store.exists("frontier_removed")
+        has_added = self.store.exists("frontier_added")
+        if not has_removed and not has_added:
+            return base
+        removed = self.store.read("frontier_removed", REMOVED_SCHEMA)
+        if as_of_round is not None:
+            removed = removed.where(F.col("round") < as_of_round)
+        live = base.join(
+            removed.select("url").hint("merge"), "url", "left_anti"
+        )
+        if not has_added:
+            return live
+        added = self.store.read("frontier_added", FRONTIER_SCHEMA)
+        return self._merge_best(live, added)
+
     def current_round(self) -> int:
         if not self.store.exists("metrics"):
             return 0
@@ -286,10 +347,11 @@ class CrawlEngine:
         No robots join here: politeness columns are denormalized into
         the frontier at enqueue time (FRONTIER_SCHEMA note), so the
         plan is linear except the denied/admitted split, whose shared
-        prefix is only the frontier scan (cheap to run twice; no
-        shuffle, no join, no window)."""
+        prefix is the logical-frontier view (bucketed scans +
+        exchange-free SMJs; cheap to run twice — scans parallelize,
+        nothing shuffles)."""
         cfg = self.config
-        ruled = self.store.read("frontier", FRONTIER_SCHEMA)
+        ruled = self.logical_frontier(round_no)
 
         denied = ruled.where(F.col("robots_denied"))
         allowed = ruled.where(~F.col("robots_denied"))
@@ -389,7 +451,7 @@ class CrawlEngine:
                 "discovered_round", "round", "partition_id",
             ),
             "retry": self._retry_frontier(log, round_no),
-            "frontier": self.store.read("frontier", FRONTIER_SCHEMA),
+            "frontier": self.logical_frontier(round_no),
         }
 
     def _retry_frontier(self, log: DataFrame, round_no: int) -> DataFrame:
@@ -510,13 +572,13 @@ class CrawlEngine:
           on actual crash recovery);
         - a bloom blob advanced past N-1 is harmless: extra bits only
           send more rows to the exact confirm join (probe is a
-          prefilter, never an authority).
+          prefilter, never an authority);
+        - half-committed round-N tombstones in ``frontier_removed``
+          are rewritten out (they are ALSO harmless to correctness —
+          every logical_frontier read is as_of-guarded — but the
+          rewrite keeps replay appends from accumulating duplicates).
         """
-        fmeta = (
-            self.store.table_meta("frontier")
-            if self.store.exists("frontier")
-            else {}
-        )
+        fmeta = self._frontier_commit_meta()
         if int(fmeta.get("round", -1)) >= round_no:
             return self._finalize_metrics(round_no)
         self.store.drop_tagged("results", {f"round-{round_no}"})
@@ -528,26 +590,64 @@ class CrawlEngine:
                     F.col("completed_round") < round_no
                 )
                 self.store.overwrite("seen", clean, bucket=self._bucket)
+        if self.store.exists("frontier_removed"):
+            mx = self.store.column_max("frontier_removed", "round")
+            if mx is not None and int(mx) >= round_no:
+                clean = self.store.read(
+                    "frontier_removed", REMOVED_SCHEMA
+                ).where(F.col("round") < round_no)
+                self.store.overwrite(
+                    "frontier_removed", clean, bucket=self._bucket
+                )
         return None
 
+    def _frontier_commit_meta(self) -> dict:
+        """The round's commit point is the ``frontier_added`` flip
+        (fresh crawls / post-compaction states stamp the base and the
+        truncated added identically; whichever is newer wins)."""
+        metas = []
+        for t in ("frontier_added", "frontier"):
+            if self.store.exists(t):
+                metas.append(int(self.store.table_meta(t).get("round", -1)))
+        return {"round": max(metas)} if metas else {}
+
     def _finalize_metrics(self, round_no: int) -> dict:
-        """Round N crashed after its frontier commit point: results and
-        seen are complete by the commit order; recompute the metrics
-        row from the committed round_log (whose manifest meta carries
-        the round number and input frontier size). Wall-clock of the
-        crashed attempt is unrecoverable → recorded as 0."""
+        """Round N crashed after its frontier commit point: results,
+        seen and tombstones are complete by the commit order; recompute
+        the metrics row from the committed round_log. The input
+        frontier size was stamped into the added-table commit meta.
+        Wall-clock of the crashed attempt is unrecoverable → 0."""
         lmeta = self.store.table_meta("round_log")
         if int(lmeta.get("round", -1)) != round_no:
             raise RuntimeError(
                 f"recovery invariant violated: frontier advanced to round "
                 f"{round_no} but round_log meta says {lmeta.get('round')}"
             )
-        n_frontier = int(lmeta.get("n_frontier", 0))
+        n_frontier = int(
+            self.store.table_meta("frontier_added").get("n_frontier", 0)
+        )
         log = self.store.read("round_log")
         per_part = self._metrics_agg(log)
         n_disc_raw = int(self._delta_expr(log, round_no).count())
+        n_disc_new = self._count_disc_new(log, round_no)
         return self._commit_metrics(
-            round_no, per_part, n_frontier, n_disc_raw, wall=0.0
+            round_no, per_part, n_frontier, n_disc_raw, n_disc_new, wall=0.0
+        )
+
+    def _count_disc_new(self, log: DataFrame, round_no: int) -> int:
+        """Discovery-dedup telemetry: rows of the round's deduped,
+        seen-filtered delta whose url was NOT already awaiting in the
+        frontier (same quantity the v2 design derived from footer
+        counts; computed directly now that nothing rewrites the whole
+        frontier)."""
+        delta_new = self._delta_new(log, round_no)
+        remainder_urls = self.logical_frontier(round_no).select("url").join(
+            log.select("url").hint("merge"), "url", "left_anti"
+        )
+        return int(
+            delta_new.join(
+                remainder_urls.hint("merge"), "url", "left_anti"
+            ).count()
         )
 
     @staticmethod
@@ -594,29 +694,31 @@ class CrawlEngine:
         if recovered is not None:
             return recovered
 
-        # 1. DECIDE — the one heavy job of the round. The log's
-        # manifest meta stamps the round and the input frontier size so
-        # recovery can finalize metrics without the lost driver state.
-        n_frontier = self.store.count("frontier")
+        # 1. DECIDE — the one heavy job of the round, over the
+        # merge-on-read logical frontier.
         self.store.overwrite(
             "round_log",
             self.decide_plan(round_no),
-            meta={"round": round_no, "n_frontier": n_frontier},
+            meta={"round": round_no},
         )
         log = self.store.read("round_log")
         _trace("decide (round_log commit)")
 
-        # 2-3. MAINTAIN — four independent scans of the committed log,
+        # 2-3. MAINTAIN — independent scans of the committed log,
         # submitted as CONCURRENT Spark jobs (threads share the
-        # SparkSession; the scheduler interleaves their tasks). The
-        # frontier merge does not wait for the seen append: it filters
-        # discoveries against seen-as-of-last-round PLUS the log's
-        # recorded urls — set-identical to seen-after-append, with the
-        # bucketed seen scan still exchange-free (a union would break
-        # bucketing and re-shuffle the whole seen set).
+        # SparkSession; the scheduler interleaves their tasks). All
+        # concurrent reads are guarded against the concurrent writers
+        # by round predicates (seen: completed_round < N; tombstones:
+        # round < N via logical_frontier's as_of) or by overwrite
+        # generations, so evaluation order cannot change results.
         recorded = log.where(~F.col("will_retry"))
         # resolve reads before any concurrent write
-        frontier = self.store.read("frontier", FRONTIER_SCHEMA)
+        logical_pre = self.logical_frontier(round_no)
+        added_prev = (
+            self.store.read("frontier_added", FRONTIER_SCHEMA)
+            if self.store.exists("frontier_added")
+            else self.spark.createDataFrame([], FRONTIER_SCHEMA)
+        )
         seen_prev = self.store.read("seen", SEEN_SCHEMA).where(
             F.col("completed_round") < round_no
         )
@@ -659,67 +761,174 @@ class CrawlEngine:
                     recorded.select("url"), covers_round=round_no
                 )
 
-        # discovery delta (lazy; evaluated by the merge job and by the
-        # raw-count telemetry job below)
-        delta_expr = self._delta_expr(log, round_no)
+        # discovery delta: ONE evaluation serves everything — the
+        # RANKED pre-dedup delta is persisted (populated when the
+        # added-rewrite job runs), so the raw-count and new-count
+        # telemetry jobs read the cache instead of re-running the
+        # expansion join + window
+        wdup = Window.partitionBy("url").orderBy(*_best_order())
+        delta_ranked = (
+            self._delta_expr(log, round_no)
+            .withColumn("_rn", F.row_number().over(wdup))
+            .persist()
+        )
+        delta_new = self._delta_new(
+            log, round_no, seen_prev=seen_prev,
+            use_bloom=cfg.use_bloom, prebuilt=bloom_prebuilt,
+            delta_ranked=delta_ranked,
+        )
 
-        def job_frontier_stage() -> dict:
-            # merge hint: at scale the decided log is politeness-bounded
-            # but still too big to broadcast; SMJ scans the bucketed
-            # frontier exchange-free and shuffles only the log urls
-            remainder = frontier.join(
+        # input logical-frontier size: chained arithmetically through
+        # the commit metadata (n_next = n - decided + new); fresh and
+        # just-compacted states are base-only, where the parquet
+        # footer count is exact and free
+        prev_meta = (
+            self.store.table_meta("frontier_added")
+            if self.store.exists("frontier_added")
+            else {}
+        )
+        if "n_frontier_next" in prev_meta:
+            n_frontier = int(prev_meta["n_frontier_next"])
+        else:
+            n_frontier = self.store.count("frontier")
+
+        def job_removed() -> None:
+            # tombstone every decided url (retries included — their
+            # re-enqueued row re-enters through `added`); the
+            # Iceberg delete-file analog, delta-sized append
+            self.store.append(
+                "frontier_removed",
+                log.select(
+                    "url", F.lit(round_no).cast("int").alias("round")
+                ),
+                bucket=self._bucket,
+            )
+
+        def job_added_stage() -> dict:
+            # rewrite ONLY the delta-sized added table:
+            # merge_best(added ANTI log, politeness-stamped delta_new).
+            # merge_best distributes over per-url anti-joins, so this
+            # plus the tombstones is exactly the v2 full rewrite.
+            added_live = added_prev.join(
                 log.select("url").hint("merge"), "url", "left_anti"
             )
-            delta = delta_expr
-            wdup = Window.partitionBy("url").orderBy(*_best_order())
-            delta_best = (
-                delta.withColumn("_rn", F.row_number().over(wdup))
-                .where(F.col("_rn") == 1)
-                .drop("_rn")
-            )
-            delta_new = anti_join_seen(
-                delta_best,
-                seen_prev,
-                use_bloom=cfg.use_bloom,
-                prebuilt=bloom_prebuilt,
-            ).join(recorded.select("url").hint("merge"), "url", "left_anti")
-            # enqueue-time politeness stamp on the smallest set: the
-            # urls that actually enter the frontier this round
-            next_frontier = self._merge_best(
-                remainder, self._with_politeness(delta_new)
+            added_next = self._merge_best(
+                added_live, self._with_politeness(delta_new)
             )
             # STAGED: the data write runs now (concurrently), but the
             # manifest flip — the round's commit point — happens only
-            # after the results/seen commits have landed.
+            # after the results/seen/tombstone commits have landed.
             return self.store.stage_overwrite(
-                "frontier", next_frontier, bucket=self._bucket,
+                "frontier_added", added_next, bucket=self._bucket,
                 meta={"round": round_no},
+            )
+
+        def job_disc_new() -> int:
+            # dedup telemetry: deduped discoveries whose url was not
+            # already awaiting in the frontier (reads the as_of-guarded
+            # pre-round view, immune to the concurrent commits; the
+            # persisted delta_new makes this a cached-side anti-join)
+            remainder_urls = logical_pre.select("url").join(
+                log.select("url").hint("merge"), "url", "left_anti"
+            )
+            return int(
+                delta_new.join(
+                    remainder_urls.hint("merge"), "url", "left_anti"
+                ).count()
             )
 
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=5) as pool:
+        with ThreadPoolExecutor(max_workers=6) as pool:
             f_results = pool.submit(job_results)
             f_seen = pool.submit(job_seen)
-            f_frontier = pool.submit(job_frontier_stage)
+            f_removed = pool.submit(job_removed)
+            f_added = pool.submit(job_added_stage)
             f_metrics = pool.submit(self._metrics_agg, log)
-            # dedup telemetry: raw discovered rows, counted concurrently
-            # (hides under the merge job's wall time)
-            f_disc_raw = pool.submit(delta_expr.count)
+            added_token = f_added.result()
+            # the two telemetry counts read the cache the added job
+            # just populated (submitted after it to avoid a duplicate
+            # materialization race)
+            f_disc_new = pool.submit(job_disc_new)
+            f_disc_raw = pool.submit(delta_ranked.count)
             f_results.result()
             f_seen.result()
-            frontier_token = f_frontier.result()
+            f_removed.result()
             per_part = f_metrics.result()
+            n_disc_new = f_disc_new.result()
             n_disc_raw = int(f_disc_raw.result())
-        # commit point: everything the next frontier supersedes is
-        # durable — flip it (one atomic rename)
-        self.store.commit_staged(frontier_token)
-        _trace("maintain (5 concurrent jobs + ordered frontier commit)")
+        n_decided_tmp = sum(r["n_processed"] for r in per_part)
+        # commit point: everything the new frontier state supersedes is
+        # durable — flip the added table (one atomic rename); stamp the
+        # input size + the arithmetic chain for the next round and for
+        # metrics finalization after a crash
+        added_token["manifest"]["meta"]["n_frontier"] = n_frontier
+        added_token["manifest"]["meta"]["n_frontier_next"] = (
+            n_frontier - n_decided_tmp + n_disc_new
+        )
+        self.store.commit_staged(added_token)
+        delta_ranked.unpersist(blocking=False)
+        _trace("maintain (concurrent delta jobs + ordered added commit)")
 
         # 4. per-round summary + metrics table commit
         wall = time.monotonic() - t0
-        return self._commit_metrics(
-            round_no, per_part, n_frontier, n_disc_raw, wall
+        summary = self._commit_metrics(
+            round_no, per_part, n_frontier, n_disc_raw, n_disc_new, wall
+        )
+        # 5. periodic compaction (idempotent; outside the recovery-
+        # critical path — a crash mid-compaction changes nothing the
+        # logical view can observe)
+        if cfg.compact_every > 0 and round_no % cfg.compact_every == 0:
+            self.compact_frontier(round_no)
+            _trace("compact")
+        return summary
+
+    def _delta_new(
+        self,
+        log: DataFrame,
+        round_no: int,
+        seen_prev: DataFrame | None = None,
+        use_bloom: bool = False,
+        prebuilt=None,
+        delta_ranked: DataFrame | None = None,
+    ) -> DataFrame:
+        """The round's deduped, seen-filtered, not-just-decided
+        discovery delta (lazy expression). ``delta_ranked`` lets the
+        caller pass a pre-built (possibly persisted) raw delta already
+        carrying the per-url dedup rank ``_rn``."""
+        if seen_prev is None:
+            seen_prev = self.store.read("seen", SEEN_SCHEMA).where(
+                F.col("completed_round") < round_no
+            )
+        if delta_ranked is None:
+            wdup = Window.partitionBy("url").orderBy(*_best_order())
+            delta_ranked = self._delta_expr(log, round_no).withColumn(
+                "_rn", F.row_number().over(wdup)
+            )
+        recorded_urls = log.where(~F.col("will_retry")).select("url")
+        delta_best = delta_ranked.where(F.col("_rn") == 1).drop("_rn")
+        return anti_join_seen(
+            delta_best, seen_prev, use_bloom=use_bloom, prebuilt=prebuilt
+        ).join(recorded_urls.hint("merge"), "url", "left_anti")
+
+    def compact_frontier(self, round_no: int) -> None:
+        """Materialize the logical frontier into a fresh base and
+        truncate the delta tables — the amortized full write (Iceberg
+        compaction analog). Idempotent at every crash point: merging an
+        already-compacted base with stale tombstones/added rows is a
+        no-op (anti-join misses, merge_best dedups)."""
+        logical = self.logical_frontier(round_no + 1)
+        self.store.overwrite(
+            "frontier", logical, bucket=self._bucket, meta={"round": round_no}
+        )
+        empty = self.spark.createDataFrame([], FRONTIER_SCHEMA)
+        self.store.overwrite(
+            "frontier_added", empty, bucket=self._bucket,
+            meta={"round": round_no},
+        )
+        empty_removed = self.spark.createDataFrame([], REMOVED_SCHEMA)
+        self.store.overwrite(
+            "frontier_removed", empty_removed, bucket=self._bucket
         )
 
     def _commit_metrics(
@@ -728,6 +937,7 @@ class CrawlEngine:
         per_part: list,
         n_frontier: int,
         n_disc_raw: int,
+        n_disc_new: int,
         wall: float,
     ) -> dict:
         n_decided = sum(r["n_processed"] for r in per_part)
@@ -737,11 +947,7 @@ class CrawlEngine:
         n_processed = n_decided - n_retrying
         n_stalled = n_frontier - n_decided  # politeness deferrals
         # discovery dedup hit-rate: fraction of discovered rows dropped
-        # as duplicate / already-seen / just-decided. n_disc_new is
-        # derived exactly from footer counts (next frontier = remainder
-        # + delta_new, and remainder = n_frontier - n_decided).
-        n_frontier_next = self.store.count("frontier")
-        n_disc_new = int(n_frontier_next - (n_frontier - n_decided))
+        # as duplicate / already-seen / just-decided
         dedup_hit = (
             1.0 - (n_disc_new / n_disc_raw) if n_disc_raw > 0 else 0.0
         )
@@ -857,8 +1063,13 @@ class CrawlEngine:
                 f"{c['recovery_attempts']}/{c['max_recovery_attempts']})"
             )
         cur = self.current_round()
-        if not 1 <= from_round <= cur:
-            raise ValueError(f"from_round must be in [1, {cur}], got {from_round}")
+        # a crashed recovery may already have dropped round >= N
+        # metrics; its re-run legitimately asks for from_round = cur+1
+        max_from = cur + 1 if c.get("status") == "recovering" else cur
+        if not 1 <= from_round <= max_from:
+            raise ValueError(
+                f"from_round must be in [1, {max_from}], got {from_round}"
+            )
 
         cfg = self.config
         res = self.store.read("results")
@@ -881,15 +1092,33 @@ class CrawlEngine:
             F.lit(0).cast("int").alias("retry_count"),
             "discovered_round",
         ).dropDuplicates(["url"])
-        frontier_keep = self.store.read("frontier", FRONTIER_SCHEMA).where(
+        # the as_of view ignores tombstones from rolled-back rounds, so
+        # base rows they removed come back for free; rows discovered by
+        # rolled-back rounds leave via the discovered_round filter
+        frontier_keep = self.logical_frontier(from_round).where(
             F.col("discovered_round") <= from_round - 1
         )
         next_frontier = self._merge_best(
             frontier_keep, self._with_politeness(restore)
         )
-        token = self.store.stage_overwrite(
+        # recovery is itself re-runnable: guard with a control status
+        # (run() refuses while "recovering"), commit the rebuilt base
+        # FIRST (it contains everything, so every later step is
+        # idempotent against it), then truncate the deltas and roll
+        # back the round-scoped tables
+        self._set_control(status="recovering")
+        self.store.overwrite(
             "frontier", next_frontier, bucket=self._bucket,
             meta={"round": from_round - 1},
+        )
+        empty = self.spark.createDataFrame([], FRONTIER_SCHEMA)
+        self.store.overwrite(
+            "frontier_added", empty, bucket=self._bucket,
+            meta={"round": from_round - 1},
+        )
+        empty_removed = self.spark.createDataFrame([], REMOVED_SCHEMA)
+        self.store.overwrite(
+            "frontier_removed", empty_removed, bucket=self._bucket
         )
         tags = {f"round-{r}" for r in range(from_round, cur + 1)}
         self.store.drop_tagged("results", tags)
@@ -898,7 +1127,6 @@ class CrawlEngine:
             F.col("completed_round") < from_round
         )
         self.store.overwrite("seen", clean_seen, bucket=self._bucket)
-        self.store.commit_staged(token)
         return self._set_control(
             status="running", recovery_attempts=c["recovery_attempts"] + 1
         )
@@ -910,7 +1138,10 @@ class CrawlEngine:
         boundary). ``resume=True`` continues from the last committed
         round — the checkpoint-equivalence contract (FIXTURES.md §4)."""
         if not resume:
-            for t in ("frontier", "seen", "results", "metrics", "round_log"):
+            for t in (
+                "frontier", "frontier_added", "frontier_removed",
+                "seen", "results", "metrics", "round_log",
+            ):
                 self.store.drop(t)
             self._set_control(status="running", recovery_attempts=0)
             self.store.overwrite(
@@ -924,7 +1155,7 @@ class CrawlEngine:
         for r in range(start, self.config.max_rounds + 1):
             if self.control()["status"] != "running":
                 break
-            if self.store.read("frontier", FRONTIER_SCHEMA).limit(1).count() == 0:
+            if self.logical_frontier(r).limit(1).count() == 0:
                 break
             summaries.append(self.run_round(r))
         return summaries

@@ -105,6 +105,16 @@ PAGES_EXT_SCHEMA = StructType(
     ]
 )
 
+# Frontier tombstones (merge-on-read frontier: urls decided since the
+# last compaction; anti-joined against the immutable base at read
+# time — the Iceberg delete-file analog).
+REMOVED_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("round", IntegerType(), False),
+    ]
+)
+
 # URL-seen checkpoint (reference analog: ProgressCache JSON,
 # builder/progress.py:37-154).
 SEEN_SCHEMA = StructType(

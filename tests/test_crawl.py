@@ -198,7 +198,7 @@ def test_crash_before_frontier_commit_recovers(
     orig = eng2.store.commit_staged
 
     def boom(token):
-        if token["table"] == "frontier":
+        if token["table"] == "frontier_added":
             raise RuntimeError("simulated crash before frontier commit")
         return orig(token)
 
@@ -239,7 +239,7 @@ def test_crash_after_frontier_commit_finalizes(
     with pytest.raises(RuntimeError, match="simulated crash"):
         eng2.run_round(2)
     monkeypatch.undo()
-    assert int(eng2.store.table_meta("frontier")["round"]) == 2
+    assert int(eng2.store.table_meta("frontier_added")["round"]) == 2
     assert eng2.current_round() == 1  # metrics lost in the crash
 
     eng3 = _mk_engine(spark, fixture_dir, store_dir, seeds, max_rounds=3)
@@ -297,6 +297,28 @@ def test_recovery_attempts_capped(spark, fixture_dir, tmp_path_factory, seeds):
         eng.run(resume=True)
     with pytest.raises(ValueError, match="cannot be recovered"):
         eng.recover_from_round(1)
+
+
+def test_compaction_equivalent(spark, fixture_dir, tmp_path_factory, seeds, engine_run):
+    """Merge-on-read invariant: compacting after every round (base
+    rewritten, deltas truncated) produces state identical to the
+    default amortized schedule and to the oracle-checked baseline."""
+    base, _ = engine_run
+    eng_c = _mk_engine(
+        spark, fixture_dir, tmp_path_factory.mktemp("store_compact"), seeds,
+        compact_every=1,
+    )
+    eng_c.run()
+    assert _seen_set(eng_c) == _seen_set(base)
+    assert _decisions(eng_c) == _decisions(base)
+    # after the final round's compaction the deltas are empty and the
+    # base alone IS the logical frontier
+    assert eng_c.store.read("frontier_added").count() == 0
+    assert eng_c.store.read("frontier_removed").count() == 0
+    n_logical = eng_c.logical_frontier().count()
+    assert n_logical == eng_c.store.read("frontier").count()
+    # and matches the uncompacted engine's logical view
+    assert n_logical == base.logical_frontier().count()
 
 
 def test_config_validation():
