@@ -216,27 +216,35 @@ def media_dup_decision(decoded: DataFrame) -> DataFrame:
 
     Scale: two window ranks over hash keys — both uniform (crypto /
     64-bit hashes), both map-side-combinable by WindowGroupLimit when
-    filtered to rank 1, no broadcast, no driver state."""
+    filtered to rank 1, no broadcast, no driver state. The perceptual
+    window runs ONLY over exact-keepers with a non-null aHash (filter →
+    window → union back): on a dup-heavy corpus the exact-duplicate and
+    invalid rows would otherwise all share one NULL window key and fall
+    through a single reducer — half the table in one task at 30-50%
+    duplication rates."""
     w_exact = Window.partitionBy("content_sha256").orderBy("media_id")
     exact_rank = F.row_number().over(w_exact)
     ranked = decoded.withColumn(
         "_exact_dup",
         F.col("content_sha256").isNotNull() & (exact_rank > 1),
     )
-    # rank perceptual ONLY over exact-keepers: exact dups get null key
-    # so they never occupy a perceptual slot
-    keeper_hash = F.when(~F.col("_exact_dup"), F.col("ahash"))
-    w_percep = Window.partitionBy(keeper_hash).orderBy("media_id")
-    percep_rank = F.row_number().over(w_percep)
-    decision = (
-        F.when(F.col("_exact_dup"), "duplicate_exact")
-        .when(
-            F.col("ahash").isNotNull() & (percep_rank > 1),
-            "duplicate_perceptual",
-        )
-        .otherwise("keep")
+    # Split: only exact-keepers with a real aHash enter the perceptual
+    # window — every row outside the slice already has its decision.
+    percep_side = ranked.where(~F.col("_exact_dup") & F.col("ahash").isNotNull())
+    rest = ranked.where(F.col("_exact_dup") | F.col("ahash").isNull())
+
+    w_percep = Window.partitionBy("ahash").orderBy("media_id")
+    percep = percep_side.withColumn(
+        "dup_decision",
+        F.when(F.row_number().over(w_percep) > 1, "duplicate_perceptual").otherwise(
+            "keep"
+        ),
     )
-    return ranked.withColumn("dup_decision", decision).drop("_exact_dup")
+    rest = rest.withColumn(
+        "dup_decision",
+        F.when(F.col("_exact_dup"), "duplicate_exact").otherwise("keep"),
+    )
+    return percep.unionByName(rest).drop("_exact_dup")
 
 
 def validity_filter(decoded: DataFrame, min_w: int = 50, min_h: int = 50) -> DataFrame:

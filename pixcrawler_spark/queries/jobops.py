@@ -65,7 +65,11 @@ def crawl_tier_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("pro")
         .alias("tier"),
     )
-    return tier_admission(jobs, tier_limits_df(spark))
+    # Spark relocates the USING-join key to column 0; re-select into the
+    # oracle's exact column order (the registry contract is order-sensitive).
+    return tier_admission(jobs, tier_limits_df(spark)).select(
+        "job_id", "user_id", "tier", "tier_limit", "queue_rank", "admitted"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -32,6 +32,7 @@ from pixcrawler_spark.queries.registry import register
 from pixcrawler_spark.sources.tables import load_table
 
 N_GROUPS = 300  # doc_id % N_GROUPS documents share one image pattern
+N_VARIANTS = 3  # byte-distinct, perceptually-identical variants per pattern
 
 
 def pattern_bmp(group: int) -> bytes:
@@ -69,6 +70,92 @@ def documents_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return d.mapInPandas(gen, "media_id bigint, kind string, payload binary")
+
+
+def pattern_bmp_variant(group: int, variant: int) -> bytes:
+    """Like :func:`pattern_bmp` but nudges pixel (0,0) by ``variant``:
+    byte-DIFFERENT payloads (distinct sha256) whose aHash is UNCHANGED —
+    the +v/64 shift in one block mean is ~4 orders of magnitude smaller
+    than the 80-gray-level margin between block means and the global
+    mean, so no bit can flip (asserted in pytest)."""
+    from pixcrawler_spark.operators.multimodal import bmp_encode
+
+    digest = hashlib.md5(str(int(group)).encode()).digest()
+    bits = np.unpackbits(np.frombuffer(digest[:8], dtype=np.uint8))
+    blocks = np.where(bits, 200, 40).astype(np.uint8).reshape(8, 8)
+    px = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1).copy()
+    px[0, 0] += int(variant)  # 40/200 + v<=2: no uint8 overflow
+    return bmp_encode(np.stack([px, px, px], axis=-1))
+
+
+def documents_as_media_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (media_id, kind, payload) where exact groups are
+    (doc_id % N_GROUPS, doc_id//N_GROUPS % N_VARIANTS) and perceptual
+    groups are doc_id % N_GROUPS — so exact and perceptual duplication
+    OVERLAP, exercising the precedence merge."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % N_GROUPS).alias("g"),
+        ((F.col("doc_id") / N_GROUPS).cast("bigint") % N_VARIANTS).alias("v"),
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[tuple[int, int], bytes] = {}
+        for pdf in batches:
+            payloads = [
+                cache.setdefault(
+                    (int(g), int(v)), pattern_bmp_variant(int(g), int(v))
+                )
+                for g, v in zip(pdf["g"], pdf["v"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "image",
+                    "payload": payloads,
+                }
+            )
+
+    return d.mapInPandas(gen, "media_id bigint, kind string, payload binary")
+
+
+@register(
+    "media_dup_decision",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             doc_id % {N_GROUPS} AS g,
+             (doc_id // {N_GROUPS}) % {N_VARIANTS} AS v
+      FROM documents
+    ),
+    d AS (
+      SELECT doc_id,
+             min(doc_id) OVER (PARTITION BY g, v) AS e_min,
+             min(doc_id) OVER (PARTITION BY g) AS p_min
+      FROM m
+    )
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id > e_min THEN 'duplicate_exact'
+                WHEN doc_id > p_min THEN 'duplicate_perceptual'
+                ELSE 'keep' END AS dup_decision
+    FROM d
+    """,
+    doc="Exact-beats-perceptual dedup precedence end-to-end (reference "
+    "validator/integrity.py:389-426): synthesize byte-distinct but "
+    "perceptually-identical BMP variants per pattern group, decode for "
+    "real, then merge — exact duplicates (same sha256) are removed "
+    "first, perceptual groups form over exact-keepers only. The oracle "
+    "knows the construction (exact key = (group, variant), perceptual "
+    "key = group); Spark must earn both keys through the image path.",
+)
+def media_dup_decision_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pixcrawler_spark.operators.multimodal import (
+        decode_media,
+        media_dup_decision,
+    )
+
+    decoded = decode_media(documents_as_media_variants(spark, sf_dir))
+    return media_dup_decision(decoded).select("media_id", "dup_decision")
 
 
 @register(

@@ -173,6 +173,29 @@ def test_pattern_bmp_hash_matches_md5_prefix():
         assert ahash8(gray) == expect, g
 
 
+def test_pattern_bmp_variants_distinct_bytes_same_ahash():
+    """The media_dup_decision oracle's construction: every variant is
+    byte-distinct (distinct sha256 → exact groups split by variant) but
+    aHash-identical (perceptual groups ignore the variant) — for ALL
+    (group, variant) pairs the driver query can produce."""
+    import hashlib
+
+    from pixcrawler_spark.operators.multimodal import _decode_bmp, ahash8
+    from pixcrawler_spark.queries.media import (
+        N_GROUPS,
+        N_VARIANTS,
+        pattern_bmp_variant,
+    )
+
+    for g in range(N_GROUPS):
+        expect = hashlib.md5(str(g).encode()).hexdigest()[:16]
+        payloads = [pattern_bmp_variant(g, v) for v in range(N_VARIANTS)]
+        assert len({hashlib.sha256(p).hexdigest() for p in payloads}) == N_VARIANTS
+        for p in payloads:
+            _, _, gray = _decode_bmp(p)
+            assert ahash8(gray) == expect, g
+
+
 def test_bmp_decodes_without_fake_flag(spark):
     """BMP is the REAL decode path — no deterministic_fake needed."""
     from pixcrawler_spark.operators.multimodal import bmp_encode
@@ -227,6 +250,40 @@ def test_media_dup_exact_beats_perceptual(spark):
         4: "keep",
         5: "keep",
     }
+
+
+def test_media_dup_window_excludes_null_key_rows(spark):
+    """Dup-heavy corpus guard: exact-duplicate and invalid rows must
+    never reach the perceptual window (they'd all share one NULL
+    partition key — a single-task sort at 30-50% duplication). The
+    operator filters to non-null-ahash exact-keepers BEFORE the window
+    and unions the rest back."""
+    from pixcrawler_spark.operators.multimodal import (
+        bmp_encode,
+        media_dup_decision,
+    )
+    from pixcrawler_spark.schemas import MEDIA_SCHEMA
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 2, size=(8, 8), dtype=np.uint8) * 160 + 40
+    big = np.repeat(np.repeat(base, 8, 0), 8, 1)
+    img = bmp_encode(np.stack([big] * 3, axis=-1).astype(np.uint8))
+    # 90 exact copies of one image + 10 invalid: 99 of 100 rows would
+    # have carried a NULL perceptual key under the old single-window plan
+    rows = [(i, "image", img, {}, None) for i in range(90)]
+    rows += [
+        (100 + i, "image", b"BM broken" + bytes([i]), {}, None) for i in range(10)
+    ]
+    out = media_dup_decision(decode_media(spark.createDataFrame(rows, MEDIA_SCHEMA)))
+
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # every Window subtree is guarded by the non-null-ahash keeper filter
+    assert "isnotnull(ahash" in plan and "Union" in plan
+
+    got = [r["dup_decision"] for r in out.collect()]
+    assert got.count("duplicate_exact") == 89
+    assert got.count("keep") == 11  # 1 canonical + 10 unjudgeable invalids
+    assert got.count("duplicate_perceptual") == 0
 
 
 def test_resize_plan(spark):

@@ -40,8 +40,10 @@ def _compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str):
     assert len(spark_pdf) == len(duck_pdf), (
         f"{name}: row count {len(spark_pdf)} vs oracle {len(duck_pdf)}"
     )
-    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
-        f"{name}: columns {sorted(spark_pdf.columns)} vs {sorted(duck_pdf.columns)}"
+    # Exact ORDER, not just the same set — the driver's schema check is
+    # column-order-sensitive, so the mirror must be too.
+    assert list(spark_pdf.columns) == list(duck_pdf.columns), (
+        f"{name}: columns {list(spark_pdf.columns)} vs {list(duck_pdf.columns)}"
     )
     s = _normalize(spark_pdf)
     d = _normalize(duck_pdf)
