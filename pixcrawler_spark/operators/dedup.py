@@ -91,6 +91,28 @@ def exact_duplicates(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
     )
 
 
+def shingle_array(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Per-row word n-gram shingle array: (id, _shingles: array<string>).
+
+    A document's shingles derive from its own text alone, so there is
+    nothing to explode and re-group: the array is built row-local
+    inside codegen — ZERO shuffles. Documents with fewer than ``n``
+    tokens are dropped (same as the oracle's range() producing an
+    empty list). May contain duplicate shingles; callers that need the
+    set apply ``array_distinct`` (still row-local).
+    """
+    toks = tokens_expr(text_col)
+    parts = " || ' ' || ".join(f"_toks[i + {j}]" for j in range(n))
+    arr = F.expr(f"transform(sequence(0, size(_toks) - {n}), i -> {parts})")
+    return (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .where(F.size("_toks") >= n)
+        .select(F.col(id_col), arr.alias("_shingles"))
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -100,15 +122,25 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per document: sig_i = min(md5(i || ':' || shingle)).
 
-    One shuffle (groupBy id); the k hash evaluations are per-row
-    expressions inside codegen. Returns (id, sig_0..sig_{k-1}).
+    ZERO shuffles: each signature component is an ``array_min`` over
+    the row-local shingle array (min is idempotent under duplicate
+    shingles, so no distinct pass is needed). The whole operator is a
+    scan + project inside whole-stage codegen — at corpus scale the
+    only shuffle in a MinHash dedup pipeline is the LSH band join.
+    Returns (id, sig_0..sig_{k-1}).
     """
-    sh = with_shingles(df, id_col, text_col, n)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"sig_{i}")
-        for i in range(num_hashes)
-    ]
-    return sh.groupBy(id_col).agg(*aggs)
+    sh = shingle_array(df, id_col, text_col, n)
+
+    def _sig(i: int):
+        # one-arg lambda on purpose: a two-arg lambda would be read by
+        # F.transform as (element, index)
+        return F.array_min(
+            F.transform(
+                "_shingles", lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
+            )
+        ).alias(f"sig_{i}")
+
+    return sh.select(F.col(id_col), *[_sig(i) for i in range(num_hashes)])
 
 
 def lsh_candidate_pairs(
@@ -233,75 +265,121 @@ def ngram_jaccard_pairs(
     and intersect JVM-side — a candidate-sized shuffle, never a
     corpus² one.
 
+    3. **PPJoin length + positional filters** (always on): candidate
+       pairs must satisfy t·|a| <= |b| <= |a|/t, and some shared
+       prefix element must leave enough suffix on BOTH sides to reach
+       the overlap bound alpha = ceil(t/(1+t)·(|a|+|b|)). Lossless
+       because both documents rank shingles in the SAME global md5
+       order (proof in the inline comment).
+
+    The per-doc distinct-shingle SET is built ROW-LOCALLY (a
+    document's shingles derive from its own text — array_distinct,
+    no explode + re-group) and persisted once for the verify sides.
+    The prefix ranks come from one window over the exploded joinable
+    shingles, mirroring the oracle SQL verbatim. md5 ordering is kept
+    (not a cheaper hash) because the DuckDB oracle prefixes by md5
+    and hot-boundary pairs are order-sensitive.
+
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
-    # The shingle table feeds the df-counter, the prefix branch and the
-    # verify branch; the per-doc sketch feeds prefix + both verify
-    # sides. Without materialization Catalyst re-derives the whole
-    # upstream (explode + distinct + aggregate) once per consumer —
-    # measured 2x the query wall time at sf0.1. persist() is the
-    # in-plan form of what a production pipeline does explicitly:
-    # materialize the per-doc shingle sketch once (like pages_ext) and
-    # reuse it across dedup passes.
-    sh = with_shingles(df, id_col, text_col, n).distinct().persist()
+    # the per-doc shingle SET, materialized once: feeds the df-counter,
+    # the prefix branch, and both verify sides
+    sh = (
+        shingle_array(df, id_col, text_col, n)
+        .select(F.col(id_col), F.array_distinct("_shingles").alias("_ss"))
+        .persist()
+    )
+
+    ex = sh.select(F.col(id_col), F.explode("_ss").alias("shingle"))
 
     if max_df is not None:
-        dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        hot = dfc.where(F.col("df") > max_df).select(
-            "shingle", F.lit(True).alias("_hot")
+        # shingle document frequency: the one remaining shuffle before
+        # candidate generation (map-side combine ⇒ per-partition
+        # distinct shingles with partial counts on the wire)
+        hot = (
+            ex.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_df)
+            .select("shingle")
         )
-        flagged = sh.join(F.broadcast(hot), "shingle", "left").withColumn(
-            "_is_hot", F.col("_hot").isNotNull()
-        )
+        # the hot set is tiny by construction (few shingles can exceed
+        # the cap) → broadcast anti hash-join, O(1) per row
+        jnr = ex.join(F.broadcast(hot), "shingle", "left_anti")
     else:
-        flagged = sh.withColumn("_is_hot", F.lit(False))
+        jnr = ex
 
-    # ONE per-doc aggregation yields the full sorted set (verify side)
-    # AND the joinable shingles in global-hash order (prefix side) —
-    # no window pass, no second scan of the shingle table
-    per_doc = flagged.groupBy(id_col).agg(
-        F.sort_array(F.collect_set("shingle")).alias("sh_set"),
-        F.count(F.lit(1)).alias("n_sh"),
-        F.sort_array(
-            F.collect_list(
-                F.when(
-                    ~F.col("_is_hot"),
-                    F.struct(
-                        F.md5("shingle").alias("h"),
-                        F.col("shingle").alias("s"),
-                    ),
-                )
-            )
-        ).alias("_jord"),
-    ).persist()
-    nj = F.size("_jord")
-    prefix_len = nj - F.ceil(F.lit(threshold) * nj) + 1
-    pre = per_doc.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                F.slice("_jord", F.lit(1), prefix_len.cast("int")),
-                lambda x: x["s"],
-            )
-        ).alias("shingle"),
+    # joinable shingles ranked in global md5 order (prefix side) —
+    # one window shuffle on doc id, mirroring the oracle SQL verbatim
+    wo = Window.partitionBy(id_col).orderBy(F.md5("shingle"), "shingle")
+    wn = Window.partitionBy(id_col)
+    nj = F.count(F.lit(1)).over(wn)
+    pre = (
+        jnr.select(
+            F.col(id_col),
+            "shingle",
+            F.row_number().over(wo).alias("rk"),
+            nj.alias("nj"),
+        )
+        .where(
+            F.col("rk")
+            <= F.col("nj") - F.ceil(F.lit(threshold) * F.col("nj")) + 1
+        )
+        .persist()  # self-joined below: compute the window once
+    )
+    # PPJoin pruning, both lossless under the shared global md5 order:
+    # - length filter: Jaccard >= t forces t·|a| <= |b| <= |a|/t
+    # - positional filter: the FIRST shared element e1 is the same
+    #   element on both sides (same total order), and a qualifying
+    #   pair has >= alpha shared elements at ranks >= rank(e1), so
+    #   min(remaining_a, remaining_b) >= alpha for e1; pairs where no
+    #   shared prefix element passes cannot reach overlap alpha.
+    #   alpha = ceil(t/(1+t)·(|a|+|b|)) is the overlap equivalent of
+    #   Jaccard >= t. remaining = nj - rk + 1 (1-based rank rk).
+    # At sf0.1 this cuts candidates ~3x before the exact verify join.
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("na") + F.col("nb"))
     )
     cand = (
-        pre.select(F.col(id_col).alias("id_a"), "shingle")
-        .join(pre.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
-        .where(F.col("id_a") < F.col("id_b"))
+        pre.select(
+            F.col(id_col).alias("id_a"),
+            "shingle",
+            F.col("rk").alias("ra"),
+            F.col("nj").alias("na"),
+        )
+        .join(
+            pre.select(
+                F.col(id_col).alias("id_b"),
+                "shingle",
+                F.col("rk").alias("rb"),
+                F.col("nj").alias("nb"),
+            ),
+            "shingle",
+        )
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("nb") >= F.lit(threshold) * F.col("na"))
+            & (F.col("na") >= F.lit(threshold) * F.col("nb"))
+            & (
+                F.least(
+                    F.col("na") - F.col("ra"), F.col("nb") - F.col("rb")
+                )
+                + 1
+                >= alpha
+            )
+        )
         .select("id_a", "id_b")
         .distinct()
     )
 
-    sa = per_doc.select(
+    sa = sh.select(
         F.col(id_col).alias("id_a"),
-        F.col("sh_set").alias("set_a"),
-        F.col("n_sh").alias("n_a"),
+        F.col("_ss").alias("set_a"),
+        F.size("_ss").alias("n_a"),
     )
-    sb = per_doc.select(
+    sb = sh.select(
         F.col(id_col).alias("id_b"),
-        F.col("sh_set").alias("set_b"),
-        F.col("n_sh").alias("n_b"),
+        F.col("_ss").alias("set_b"),
+        F.size("_ss").alias("n_b"),
     )
     n_inter = F.size(F.array_intersect("set_a", "set_b"))
     jac = n_inter / (F.col("n_a") + F.col("n_b") - n_inter)

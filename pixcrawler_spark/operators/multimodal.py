@@ -95,6 +95,151 @@ def _decode_bmp(payload: bytes):
         return None
 
 
+# -- PNG codec (pure stdlib zlib/struct + numpy; 8-bit gray/RGB/RGBA,
+#    non-interlaced) --------------------------------------------------------
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# bytes per pixel by PNG color type (8-bit depth): gray, RGB, palette
+# (unsupported), gray+alpha, RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def png_encode(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → 8-bit non-interlaced PNG bytes (filter 0
+    rows, one zlib IDAT). Stdlib-only; used by fixtures and the aHash
+    oracle queries to synthesize real decodable PNGs without PIL."""
+    import zlib
+
+    h, w, _ = pixels.shape
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), pixels.reshape(h, w * 3)], axis=1
+    ).tobytes()  # filter byte 0 per row
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: np.ndarray, h: int, w: int, ch: int) -> np.ndarray:
+    """Reverse PNG row filters (0-4) → (h, w*ch) uint8. Row-sequential
+    by spec (Up/Average/Paeth reference the prior row); within-row
+    loops only run for Sub/Average/Paeth rows."""
+    stride = w * ch
+    out = np.zeros((h, stride), dtype=np.uint8)
+    rows = raw.reshape(h, stride + 1)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ftype = int(rows[y, 0])
+        cur = rows[y, 1:].astype(np.int32)
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for x in range(ch, stride):
+                cur[x] = (cur[x] + cur[x - ch]) & 0xFF
+        elif ftype == 2:  # Up
+            cur = (cur + prev) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = cur[x - ch] if x >= ch else 0
+                cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = int(prev[x - ch]) if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out
+
+
+def _decode_png(payload: bytes):
+    """8-bit non-interlaced gray/RGB/RGBA PNG → (width, height,
+    grayscale float64 (h, w)) or None if corrupt/truncated/unsupported
+    (bad signature, CRC mismatch, short IDAT, palette/16-bit/interlaced).
+    Pure stdlib zlib + struct — the corruption predicate for the
+    second-most-common crawl image format (reference PIL verify,
+    validator/integrity.py:473-498)."""
+    import zlib
+
+    try:
+        if not payload.startswith(_PNG_SIG):
+            return None
+        pos, idat, ihdr = len(_PNG_SIG), [], None
+        while pos + 8 <= len(payload):
+            (length,) = struct.unpack_from(">I", payload, pos)
+            tag = payload[pos + 4 : pos + 8]
+            body_end = pos + 8 + length
+            if body_end + 4 > len(payload):
+                return None  # truncated chunk
+            body = payload[pos + 8 : body_end]
+            (crc,) = struct.unpack_from(">I", payload, body_end)
+            if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+                return None  # corrupt chunk
+            if tag == b"IHDR":
+                ihdr = body
+            elif tag == b"IDAT":
+                idat.append(body)
+            elif tag == b"IEND":
+                break
+            pos = body_end + 4
+        if ihdr is None or not idat:
+            return None
+        w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+            ">IIBBBBB", ihdr
+        )
+        if depth != 8 or ctype not in _PNG_CHANNELS or comp or filt or interlace:
+            return None  # declared unsupported: palette/16-bit/Adam7
+        if w <= 0 or h <= 0 or w > 1 << 16 or h > 1 << 16:
+            return None
+        ch = _PNG_CHANNELS[ctype]
+        raw = np.frombuffer(
+            zlib.decompress(b"".join(idat)), dtype=np.uint8
+        )
+        if raw.size != h * (w * ch + 1):
+            return None  # short/overlong pixel stream
+        px = _png_unfilter(raw, h, w, ch).reshape(h, w, ch).astype(np.float64)
+        if ctype == 0:
+            gray = px[:, :, 0]
+        elif ctype == 4:
+            gray = px[:, :, 0]  # alpha ignored, matching PIL convert("L")
+        else:
+            gray = (
+                px[:, :, 0] * 0.299 + px[:, :, 1] * 0.587 + px[:, :, 2] * 0.114
+            )
+        return int(w), int(h), gray
+    except Exception:
+        return None
+
+
+def _decode_image(payload: bytes):
+    """Dispatch REAL decoders by sniffed format: (fmt, w, h, gray) for
+    decodable payloads, (fmt, None) for corrupt ones of a known-real
+    format, None when no real decoder exists for the format."""
+    fmt = _sniff_format(payload)
+    if fmt == "bmp":
+        return ("bmp", _decode_bmp(payload))
+    if fmt == "png":
+        return ("png", _decode_png(payload))
+    return None
+
+
 def _block_means(gray: np.ndarray, n: int = 8) -> np.ndarray:
     """Exact area-mean n×n downsample via integral image (vectorized;
     nearest-neighbor fallback for images smaller than n×n)."""
@@ -146,18 +291,19 @@ def _decode_one(payload: bytes | None, kind: str, deterministic_fake: bool) -> d
         }
     payload = bytes(payload)
     fmt = _sniff_format(payload)
-    if kind == "image" and fmt == "bmp":
+    real = _decode_image(payload) if kind == "image" else None
+    if real is not None:
+        fmt, dec = real
         sha = hashlib.sha256(payload).hexdigest()
-        dec = _decode_bmp(payload)
         if dec is None:  # corrupt/truncated → the corruption predicate
             return {
-                "n_bytes": len(payload), "format": "bmp", "width": None,
+                "n_bytes": len(payload), "format": fmt, "width": None,
                 "height": None, "duration_s": None, "is_valid": False,
                 "content_sha256": sha, "ahash": None,
             }
         w, h, gray = dec
         return {
-            "n_bytes": len(payload), "format": "bmp", "width": w,
+            "n_bytes": len(payload), "format": fmt, "width": w,
             "height": h, "duration_s": None, "is_valid": True,
             "content_sha256": sha, "ahash": ahash8(gray),
         }
@@ -316,14 +462,14 @@ FEATURE_FIELDS = "media_id bigint, feature array<float>"
 
 
 def bmp_gray_feature(payload: bytes, grid: int = 8) -> list[float] | None:
-    """REAL image feature for decodable BMPs: grid×grid grayscale
+    """REAL image feature for decodable BMPs/PNGs: grid×grid grayscale
     area-means scaled to [0, 1] — a classic raw-pixel embedding
     (what the aHash thresholds, kept continuous), cosine-comparable
     by every downstream ANN operator. None if undecodable."""
-    dec = _decode_bmp(payload)
-    if dec is None:
+    real = _decode_image(payload)
+    if real is None or real[1] is None:
         return None
-    _, _, gray = dec
+    _, (_, _, gray) = real
     blocks = _block_means(gray, grid) / 255.0
     return [float(round(x, 6)) for x in blocks.ravel()]
 
@@ -359,7 +505,7 @@ def feature_extract(
     def _one(payload) -> list[float]:
         if payload is not None and real_grid is not None:
             p = bytes(payload)
-            if _sniff_format(p) == "bmp":
+            if _sniff_format(p) in ("bmp", "png"):
                 feat = bmp_gray_feature(p, real_grid)
                 if feat is not None:
                     return feat

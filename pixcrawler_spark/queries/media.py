@@ -35,31 +35,46 @@ N_GROUPS = 300  # doc_id % N_GROUPS documents share one image pattern
 N_VARIANTS = 3  # byte-distinct, perceptually-identical variants per pattern
 
 
+def _pattern_pixels(group: int) -> np.ndarray:
+    digest = hashlib.md5(str(int(group)).encode()).digest()
+    bits = np.unpackbits(np.frombuffer(digest[:8], dtype=np.uint8))
+    blocks = np.where(bits, 200, 40).astype(np.uint8).reshape(8, 8)
+    px = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+    return np.stack([px, px, px], axis=-1)
+
+
 def pattern_bmp(group: int) -> bytes:
     """Deterministic 64×64 BMP whose aHash equals the first 16 hex
     chars of md5(str(group))."""
     from pixcrawler_spark.operators.multimodal import bmp_encode
 
-    digest = hashlib.md5(str(int(group)).encode()).digest()
-    bits = np.unpackbits(np.frombuffer(digest[:8], dtype=np.uint8))
-    blocks = np.where(bits, 200, 40).astype(np.uint8).reshape(8, 8)
-    px = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
-    return bmp_encode(np.stack([px, px, px], axis=-1))
+    return bmp_encode(_pattern_pixels(group))
 
 
-def documents_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents → (media_id, kind, payload) with synthesized BMPs,
-    via an Arrow-batched mapInPandas (the payload never exists on the
-    driver)."""
+def pattern_png(group: int) -> bytes:
+    """Same pattern as :func:`pattern_bmp` but PNG-encoded: exercises
+    the stdlib zlib inflate + unfilter decode path end-to-end."""
+    from pixcrawler_spark.operators.multimodal import png_encode
+
+    return png_encode(_pattern_pixels(group))
+
+
+def documents_as_media(
+    spark: SparkSession, sf_dir: str, fmt: str = "bmp"
+) -> DataFrame:
+    """documents → (media_id, kind, payload) with synthesized BMPs or
+    PNGs, via an Arrow-batched mapInPandas (the payload never exists
+    on the driver)."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", (F.col("doc_id") % N_GROUPS).alias("g")
     )
+    make = pattern_png if fmt == "png" else pattern_bmp
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cache: dict[int, bytes] = {}
         for pdf in batches:
             payloads = [
-                cache.setdefault(int(g), pattern_bmp(int(g))) for g in pdf["g"]
+                cache.setdefault(int(g), make(int(g))) for g in pdf["g"]
             ]
             yield pd.DataFrame(
                 {
@@ -182,6 +197,40 @@ def dedup_perceptual_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pixcrawler_spark.operators.multimodal import decode_media
 
     decoded = decode_media(documents_as_media(spark, sf_dir))
+    return (
+        decoded.groupBy("ahash")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("media_id").alias("canonical_doc"),
+        )
+        .where(F.col("n_dups") > 1)
+    )
+
+
+@register(
+    "dedup_perceptual_ahash_png",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT doc_id,
+             substring(md5(CAST(doc_id % {N_GROUPS} AS VARCHAR)), 1, 16) AS ahash
+      FROM documents
+    )
+    SELECT ahash,
+           CAST(count(*) AS BIGINT) AS n_dups,
+           min(doc_id) AS canonical_doc
+    FROM hashed GROUP BY ahash HAVING count(*) > 1
+    """,
+    doc="The dedup_perceptual_ahash oracle-by-construction, but the "
+    "payloads are PNGs: Spark must earn the md5-derived expected hash "
+    "through the stdlib PNG path — zlib inflate, per-row unfilter, "
+    "grayscale, 8×8 area-mean, mean threshold (operators/multimodal.py "
+    "_decode_png). A bug anywhere in the PNG encoder, chunk/CRC "
+    "parsing, inflate or unfilter breaks the match.",
+)
+def dedup_perceptual_ahash_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pixcrawler_spark.operators.multimodal import decode_media
+
+    decoded = decode_media(documents_as_media(spark, sf_dir, fmt="png"))
     return (
         decoded.groupBy("ahash")
         .agg(

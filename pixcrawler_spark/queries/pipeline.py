@@ -192,7 +192,7 @@ def dedup_minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE shingle NOT IN (SELECT shingle FROM hot)
     ),
     pre AS (
-      SELECT doc_id, shingle FROM (
+      SELECT doc_id, shingle, rk, nj FROM (
         SELECT doc_id, shingle,
                row_number() OVER (PARTITION BY doc_id
                                   ORDER BY md5(shingle), shingle) AS rk,
@@ -204,6 +204,11 @@ def dedup_minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM pre a JOIN pre b ON a.shingle = b.shingle
       WHERE a.doc_id < b.doc_id
+        AND b.nj >= {JACCARD_THRESHOLD} * a.nj
+        AND a.nj >= {JACCARD_THRESHOLD} * b.nj
+        AND least(a.nj - a.rk, b.nj - b.rk) + 1 >=
+            ceil({JACCARD_THRESHOLD} / (1.0 + {JACCARD_THRESHOLD})
+                 * (a.nj + b.nj))
     ),
     inter AS (
       SELECT c.id_a, c.id_b, count(*) AS n_inter

@@ -17,10 +17,13 @@ comparison robust across engines:
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+
+from pixcrawler_spark.session import tune_session
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -42,7 +45,16 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
     def wrap(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=doc)
+
+        @functools.wraps(fn)
+        def tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # the driver runs queries on a session it built itself;
+            # apply the engine's runtime tuning (optimizer-rule
+            # exclusions) there too
+            tune_session(spark)
+            return fn(spark, sf_dir)
+
+        REGISTRY[name] = Query(name=name, fn=tuned, oracle=oracle, doc=doc)
         return fn
 
     return wrap

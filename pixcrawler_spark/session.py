@@ -56,7 +56,36 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.optimizer.excludedRules", EXCLUDED_OPTIMIZER_RULES)
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    tune_session(spark)
+    return spark
+
+
+# InferFiltersFromGenerate rewrites `explode(expr)` into
+# `Filter(size(expr) > 0) → explode(expr)` and pushes the filter below
+# the projection that computes expr — so the generator's child (for us:
+# regex-split tokenization fanned out into an n-gram transform, i.e.
+# the split re-inlined once per token position) is evaluated a second
+# time, interpreted, per input row. Measured at sf0.1: a shingle
+# explode goes 1.2 s → 10.9 s with the rule on. The filter only
+# pre-drops rows whose array is empty — work Generate does anyway —
+# so excluding the rule is pure win for computed-array explodes.
+EXCLUDED_OPTIMIZER_RULES = (
+    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+)
+
+
+def tune_session(spark: SparkSession) -> None:
+    """Apply the engine's runtime-settable tuning to ANY session —
+    including one the correctness/bench driver built itself (the query
+    registry calls this from every query fn, idempotently)."""
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.excludedRules", EXCLUDED_OPTIMIZER_RULES
+        )
+    except Exception:
+        pass  # conf locked down → queries still correct, just slower

@@ -52,9 +52,43 @@ TESTDATA_TABLES = (
 )
 
 
+# tables small enough that a broadcast-join plan should see the bare
+# scan (repartitioning a dim would add an exchange for nothing)
+_DIM_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver-generated parquet table (TESTDATA.md)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Load one driver-generated parquet table (TESTDATA.md).
+
+    Under-split guard: the sandbox fixtures are single-row-group
+    parquet files, so a narrow (shuffle-free) plan over them runs as
+    ONE task no matter how many cores exist — file splits are the only
+    parallelism source for scan-side work. When the file would yield
+    fewer splits than the session's cores, fact tables are
+    repartitioned to default parallelism (a sub-ms shuffle at fixture
+    scale). On a real cluster the condition never fires: a 100 TB
+    table has orders of magnitude more splits than cores, and the read
+    stays a bare scan with pushdown intact (the repartition sits ABOVE
+    the scan node, so filter/column pushdown still reaches parquet).
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    if name in _DIM_TABLES:
+        return df
+    cores = spark.sparkContext.defaultParallelism
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    max_split = int(raw) if raw.isdigit() else 128 * 1024 * 1024
+    try:
+        size = os.path.getsize(path) if os.path.isfile(path) else sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    except OSError:
+        return df
+    if (size + max_split - 1) // max_split < cores:
+        return df.repartition(cores)
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

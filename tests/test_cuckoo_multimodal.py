@@ -53,13 +53,19 @@ def test_partition_dedup_drops_repeats(spark):
 # -- multimodal ----------------------------------------------------------------
 @pytest.fixture(scope="module")
 def media(spark):
+    from pixcrawler_spark.operators.multimodal import png_encode
+
+    px = np.tile(
+        np.arange(11, dtype=np.uint8)[None, :, None] * 20, (12, 1, 3)
+    )
     rows = [
-        (1, "image", b"\x89PNG" + b"x" * 100, {"src": "a"}, None),
+        (1, "image", png_encode(px), {"src": "a"}, None),  # REAL 11x12 png
         (2, "image", b"\xff\xd8\xff" + b"y" * 50, {}, None),
         (3, "image", b"zz", {}, None),          # too short / unknown → invalid
         (4, "audio", b"RIFF" + b"w" * 64, {}, None),
         (5, "video", b"RIFF" + b"v" * 640, {}, None),
         (6, "image", None, {}, None),            # null payload
+        (7, "image", b"\x89PNG" + b"x" * 100, {}, None),  # junk "png" → corrupt
     ]
     from pixcrawler_spark.schemas import MEDIA_SCHEMA
 
@@ -74,11 +80,16 @@ def test_decode_stub_raises_without_fake(media):
 def test_decode_fake_plumbing(media):
     out = decode_media(media, deterministic_fake=True)
     rows = {r["media_id"]: r for r in out.collect()}
+    # real PNG decode: true dimensions, not hash-derived fakes
     assert rows[1]["format"] == "png" and rows[1]["is_valid"]
+    assert (rows[1]["width"], rows[1]["height"]) == (11, 12)
+    assert rows[1]["ahash"] is not None
     assert rows[2]["format"] == "jpeg"
     assert not rows[3]["is_valid"]
     assert rows[4]["duration_s"] is not None and rows[4]["width"] is None
     assert not rows[6]["is_valid"] and rows[6]["n_bytes"] == 0
+    # bytes claiming to be PNG but failing the real parse → corrupt
+    assert rows[7]["format"] == "png" and not rows[7]["is_valid"]
     # deterministic: same bytes → same metadata
     again = {r["media_id"]: r for r in decode_media(media, deterministic_fake=True).collect()}
     assert rows == again
@@ -141,6 +152,137 @@ def test_bmp_roundtrip_and_ahash_vs_naive_oracle():
         )
         assert np.allclose(gray, expect_gray)
         assert ahash8(gray) == _naive_ahash(px.tolist())
+
+
+def _png_with_filters(pixels, ftypes):
+    """Reference PNG encoder that exercises row filters 0-4 (the repo
+    encoder only emits filter 0); straight-line per-pixel code."""
+    import struct
+    import zlib
+
+    h, w, _ = pixels.shape
+    stride = w * 3
+    prev = np.zeros(stride, dtype=np.int32)
+    out = bytearray()
+    for y in range(h):
+        cur = pixels[y].reshape(stride).astype(np.int32)
+        ft = ftypes[y % len(ftypes)]
+        row = np.zeros(stride, dtype=np.int32)
+        for x in range(stride):
+            a = cur[x - 3] if x >= 3 else 0
+            b = prev[x]
+            c = int(prev[x - 3]) if x >= 3 else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            row[x] = (cur[x] - pred) & 0xFF
+        out += bytes([ft]) + row.astype(np.uint8).tobytes()
+        prev = cur
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(out)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_roundtrip_matches_bmp_and_naive_oracle():
+    """The stdlib PNG path is pixel-exact: same pixels through PNG and
+    BMP produce identical grayscale, identical aHash, and match the
+    straight-line naive oracle."""
+    from pixcrawler_spark.operators.multimodal import (
+        _decode_bmp,
+        _decode_png,
+        ahash8,
+        bmp_encode,
+        png_encode,
+    )
+
+    rng = np.random.default_rng(11)
+    for h, w in [(64, 64), (40, 56), (9, 33), (8, 8)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        dec = _decode_png(png_encode(px))
+        assert dec is not None
+        gw, gh, gray = dec
+        assert (gw, gh) == (w, h)
+        _, _, gray_bmp = _decode_bmp(bmp_encode(px))
+        assert np.allclose(gray, gray_bmp)
+        assert ahash8(gray) == _naive_ahash(px.tolist())
+
+
+def test_png_unfilter_all_filter_types():
+    """Decoding a PNG whose rows cycle through filters 0-4 (Sub, Up,
+    Average, Paeth) reproduces the exact pixels — the part of the spec
+    real-world encoders actually use."""
+    from pixcrawler_spark.operators.multimodal import _decode_png
+
+    rng = np.random.default_rng(13)
+    px = rng.integers(0, 256, size=(17, 13, 3), dtype=np.uint8)
+    blob = _png_with_filters(px, [0, 1, 2, 3, 4])
+    dec = _decode_png(blob)
+    assert dec is not None
+    _, _, gray = dec
+    expect = px[..., 0] * 0.299 + px[..., 1] * 0.587 + px[..., 2] * 0.114
+    assert np.allclose(gray, expect)
+
+
+def test_png_corruption_predicate():
+    """Truncated IDAT, flipped CRC bytes, short pixel streams and
+    declared-unsupported encodings (16-bit, interlaced) are all
+    detected — the validator's integrity gate for PNGs."""
+    import struct
+    import zlib
+
+    from pixcrawler_spark.operators.multimodal import _decode_png, png_encode
+
+    px = np.full((16, 16, 3), 128, dtype=np.uint8)
+    good = png_encode(px)
+    assert _decode_png(good) is not None
+    assert _decode_png(good[: len(good) // 2]) is None  # truncated IDAT
+    bad_crc = bytearray(good)
+    bad_crc[-9] ^= 0xFF  # inside IEND/IDAT crc tail
+    assert _decode_png(bytes(bad_crc)) is None
+    assert _decode_png(b"\x89PNG\r\n\x1a\n" + b"junk") is None
+    assert _decode_png(b"\x89PNG" + b"x" * 100) is None  # bad signature tail
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    # 16-bit depth and Adam7 interlacing: declared unsupported → None
+    for depth, interlace in [(16, 0), (8, 1)]:
+        ihdr = struct.pack(">IIBBBBB", 4, 4, depth, 2, 0, 0, interlace)
+        raw = zlib.compress(bytes(4 * (1 + 12)))
+        blob = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", raw)
+            + chunk(b"IEND", b"")
+        )
+        assert _decode_png(blob) is None
 
 
 def test_bmp_corruption_predicate():
