@@ -75,6 +75,119 @@ def planes_for(expected_n: int, target_bucket: int = 32) -> int:
     return max(1, math.ceil(math.log2(max(2.0, expected_n / target_bucket))))
 
 
+def centroids_for(expected_n: int) -> int:
+    """IVF coarse-quantizer size derived from the expected corpus:
+    K ≈ √n balances the two costs of the family — assignment work is
+    O(n·K) while probed-list verification is O(nprobe·n/K), so K=√n
+    keeps both sides sublinear as the corpus grows (the classic IVF
+    sizing rule; a fixed K lets lists grow linearly with n, the same
+    scale hazard ``planes_for`` removes for SRP)."""
+    import math
+
+    return max(2, math.ceil(math.sqrt(max(4, expected_n))))
+
+
+def nprobe_for(k_centroids: int, recall_boost: int = 1) -> int:
+    """Probed-list count: a RECALL knob, derived as ceil(K/8) —
+    probing ~12% of the lists — scaled by ``recall_boost`` (raise it
+    when the query's true neighbors straddle centroid boundaries;
+    cost grows linearly, recall monotonically)."""
+    import math
+
+    return max(1, math.ceil(k_centroids / 8) * recall_boost)
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id: int,
+    k: int = 10,
+    expected_n: int | None = None,
+    k_centroids: int | None = None,
+    nprobe: int | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF-style ANN top-k with DERIVED parameters: K=centroids_for(n)
+    coarse centroids (the first K vectors as the deterministic
+    codebook), every vector assigned to its nearest centroid's
+    inverted list (broadcast codebook — K rows — so assignment is one
+    scan), the query probes its ``nprobe`` nearest lists, exact cosine
+    within them. Candidates shrink by ~nprobe/K.
+
+    Pass ``expected_n`` (corpus-size hint) to derive K and nprobe, or
+    override either explicitly (``k_centroids``/``nprobe``)."""
+    from pyspark.sql import Window
+
+    if k_centroids is None:
+        if expected_n is None:
+            raise ValueError("need expected_n or k_centroids")
+        k_centroids = centroids_for(expected_n)
+    if nprobe is None:
+        nprobe = nprobe_for(k_centroids)
+
+    cents = df.where(F.col(id_col) < k_centroids).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec")
+    )
+    cos_c = F.round(cosine_expr(F.col(vec_col), F.col("cvec")), round_to)
+    w = Window.partitionBy(id_col).orderBy(F.desc("_cos_c"), F.asc("cent_id"))
+    assigned = (
+        df.crossJoin(F.broadcast(cents))
+        .withColumn("_cos_c", cos_c)
+        .withColumn("rk", F.row_number().over(w))
+    )
+    lists = assigned.where(F.col("rk") == 1).select(
+        id_col, vec_col, "cent_id"
+    )
+    qprobe = assigned.where(
+        (F.col(id_col) == query_id) & (F.col("rk") <= nprobe)
+    ).select("cent_id")
+    q = df.where(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("_vq")
+    )
+    cos_q = F.round(cosine_expr(F.col(vec_col), F.col("_vq")), round_to)
+    return (
+        lists.join(F.broadcast(qprobe), "cent_id")
+        .crossJoin(F.broadcast(q))
+        .select(F.col(id_col), cos_q.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ivf_list_stats(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k_centroids: int,
+    round_to: int = 6,
+) -> DataFrame:
+    """Inverted-list occupancy telemetry — the observable that
+    justifies ``centroids_for`` (mirrors ann_srp_bucket_stats):
+    (k_centroids, n_lists, max_occupancy, avg_occupancy)."""
+    from pyspark.sql import Window
+
+    cents = df.where(F.col(id_col) < k_centroids).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec")
+    )
+    cos_c = F.round(cosine_expr(F.col(vec_col), F.col("cvec")), round_to)
+    w = Window.partitionBy(id_col).orderBy(F.desc("_cos_c"), F.asc("cent_id"))
+    occ = (
+        df.crossJoin(F.broadcast(cents))
+        .withColumn("_cos_c", cos_c)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .groupBy("cent_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return occ.agg(
+        F.lit(k_centroids).cast("int").alias("k_centroids"),
+        F.count(F.lit(1)).alias("n_lists"),
+        F.max("n").alias("max_occupancy"),
+        F.round(F.avg("n"), 4).alias("avg_occupancy"),
+    )
+
+
 def multiprobe_buckets_expr(bucket_col: Column, n_planes: int) -> Column:
     """Multi-probe bucket set: the bucket itself plus every bucket at
     hamming distance 1 (one flipped plane bit) — n_planes + 1 probes.

@@ -163,12 +163,16 @@ class CrawlConfig:
     n_buckets: int = 32
     # MERGE-ON-READ frontier: every round appends tombstones for
     # decided urls and rewrites only the small `frontier_added` table;
-    # the immutable base is re-materialized (compacted) every
-    # ``compact_every`` rounds. Rewriting a 10^10-row frontier to
-    # remove a politeness-bounded (~10^6-10^7) delta each round is the
-    # one full-table write the v2 design still had; amortizing it
-    # 1/compact_every is the Iceberg delete-file/compaction pattern.
-    compact_every: int = 8
+    # the immutable base is re-materialized (compacted) when the
+    # accumulated tombstones exceed ``compact_ratio`` of the base —
+    # the Iceberg delete-file/compaction pattern, triggered by the
+    # quantity that actually degrades reads (tombstone anti-join
+    # traffic scales with |removed|, not with wall-clock rounds).
+    # Counters chain through commit metadata, so the policy costs no
+    # extra Spark jobs. ``compact_every`` remains as an optional
+    # periodic override (0 = off); ratio 0 disables the ratio trigger.
+    compact_ratio: float = 0.25
+    compact_every: int = 0
 
     def validate(self) -> None:
         if not self.seeds:
@@ -789,8 +793,14 @@ class CrawlEngine:
         )
         if "n_frontier_next" in prev_meta:
             n_frontier = int(prev_meta["n_frontier_next"])
+            n_base = int(prev_meta.get("n_base", n_frontier))
+            n_tomb_prev = int(prev_meta.get("n_tombstones", 0))
         else:
+            # fresh or just-compacted: the base alone IS the logical
+            # frontier and carries zero tombstones
             n_frontier = self.store.count("frontier")
+            n_base = n_frontier
+            n_tomb_prev = 0
 
         def job_removed() -> None:
             # tombstone every decided url (retries included — their
@@ -866,21 +876,34 @@ class CrawlEngine:
         added_token["manifest"]["meta"]["n_frontier_next"] = (
             n_frontier - n_decided_tmp + n_disc_new
         )
+        # compaction-policy counters (chained, no Spark jobs): every
+        # decided url appended one tombstone this round
+        n_tombstones = n_tomb_prev + n_decided_tmp
+        added_token["manifest"]["meta"]["n_base"] = n_base
+        added_token["manifest"]["meta"]["n_tombstones"] = n_tombstones
         self.store.commit_staged(added_token)
         delta_ranked.unpersist(blocking=False)
         _trace("maintain (concurrent delta jobs + ordered added commit)")
 
         # 4. per-round summary + metrics table commit
         wall = time.monotonic() - t0
+        tombstone_ratio = n_tombstones / n_base if n_base > 0 else 0.0
         summary = self._commit_metrics(
             round_no, per_part, n_frontier, n_disc_raw, n_disc_new, wall
         )
-        # 5. periodic compaction (idempotent; outside the recovery-
-        # critical path — a crash mid-compaction changes nothing the
-        # logical view can observe)
-        if cfg.compact_every > 0 and round_no % cfg.compact_every == 0:
+        summary["tombstone_ratio"] = round(tombstone_ratio, 4)
+        # 5. compaction (idempotent; outside the recovery-critical
+        # path — a crash mid-compaction changes nothing the logical
+        # view can observe). Primary trigger: accumulated tombstones
+        # vs base size — read degradation tracks |removed|, not
+        # wall-clock rounds. compact_every is a periodic override.
+        do_compact = (
+            cfg.compact_ratio > 0 and tombstone_ratio >= cfg.compact_ratio
+        ) or (cfg.compact_every > 0 and round_no % cfg.compact_every == 0)
+        if do_compact:
             self.compact_frontier(round_no)
-            _trace("compact")
+            summary["compacted"] = True
+            _trace(f"compact (tombstone_ratio={tombstone_ratio:.3f})")
         return summary
 
     def _delta_new(

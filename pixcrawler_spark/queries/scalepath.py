@@ -210,8 +210,12 @@ def ann_srp_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return outs[0].unionByName(outs[1])
 
 
-K_CENTROIDS = 8  # IVF coarse-quantizer size (√n-ish at the driver sf)
-NPROBE = 2  # probed inverted lists per query
+# IVF parameters DERIVED from the expected corpus (similarity.
+# centroids_for / nprobe_for — same pattern as planes_for above): the
+# oracle SQL is static text, so the expectation is the declared
+# EXPECTED_N constant; re-derive when pointing at a new corpus scale.
+K_CENTROIDS = similarity.centroids_for(EXPECTED_N)  # = 23 at n=512
+NPROBE = similarity.nprobe_for(K_CENTROIDS)  # = 3 (recall knob)
 
 
 @register(
@@ -247,35 +251,46 @@ NPROBE = 2  # probed inverted lists per query
     "shrink by ~nprobe/K; the codebook broadcast is K rows).",
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     e = load_table(spark, sf_dir, "embeddings")
-    cents = e.where(F.col("vec_id") < K_CENTROIDS).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+    return similarity.ivf_topk(
+        e, "vec_id", "embedding", query_id=0, k=10,
+        k_centroids=K_CENTROIDS, nprobe=NPROBE,
     )
-    cos_c = F.round(similarity.cosine_expr(F.col("embedding"), F.col("cvec")), 6)
-    w = Window.partitionBy("vec_id").orderBy(
-        F.desc("_cos_c"), F.asc("cent_id")
+
+
+@register(
+    "ann_ivf_list_stats",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS cvec
+      FROM embeddings WHERE vec_id < {K_CENTROIDS}
+    ),
+    assigned AS (
+      SELECT vec_id, cent_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY {_sql_cos('embedding', 'cvec')} DESC,
+                                         cent_id) AS rk
+      FROM embeddings CROSS JOIN cents
+    ),
+    occ AS (
+      SELECT cent_id, count(*) AS n FROM assigned WHERE rk = 1
+      GROUP BY cent_id
     )
-    assigned = (
-        e.crossJoin(F.broadcast(cents))
-        .withColumn("_cos_c", cos_c)
-        .withColumn("rk", F.row_number().over(w))
-    )
-    lists = assigned.where(F.col("rk") == 1).select(
-        "vec_id", "embedding", "cent_id"
-    )
-    qprobe = assigned.where(
-        (F.col("vec_id") == 0) & (F.col("rk") <= NPROBE)
-    ).select("cent_id")
-    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("vq"))
-    cos_q = F.round(similarity.cosine_expr(F.col("embedding"), F.col("vq")), 6)
-    return (
-        lists.join(F.broadcast(qprobe), "cent_id")
-        .crossJoin(F.broadcast(q))
-        .select("vec_id", cos_q.alias("cosine"))
-        .orderBy(F.desc("cosine"), F.asc("vec_id"))
-        .limit(10)
+    SELECT CAST({K_CENTROIDS} AS INTEGER) AS k_centroids,
+           CAST(count(*) AS BIGINT) AS n_lists,
+           CAST(max(n) AS BIGINT) AS max_occupancy,
+           round(avg(n), 4) AS avg_occupancy
+    FROM occ
+    """,
+    doc="IVF inverted-list occupancy telemetry — the observable that "
+    f"justifies centroids_for (K={K_CENTROIDS} ≈ √{EXPECTED_N}): "
+    "n_lists/max/avg occupancy over the nearest-centroid assignment, "
+    "mirroring ann_srp_bucket_stats for the SRP family.",
+)
+def ann_ivf_list_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_list_stats(
+        e, "vec_id", "embedding", k_centroids=K_CENTROIDS
     )
 
 

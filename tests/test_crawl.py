@@ -321,6 +321,40 @@ def test_compaction_equivalent(spark, fixture_dir, tmp_path_factory, seeds, engi
     assert n_logical == base.logical_frontier().count()
 
 
+def test_compaction_fires_on_tombstone_ratio(
+    spark, fixture_dir, tmp_path_factory, seeds, engine_run
+):
+    """The ratio policy: with a tiny threshold every round crosses it
+    (each round tombstones a politeness-bounded slice of the base), so
+    compaction fires each round and deltas stay empty; with the
+    trigger disabled it never fires. State is identical either way —
+    compaction is logically invisible."""
+    base, base_summaries = engine_run
+    eager = _mk_engine(
+        spark, fixture_dir, tmp_path_factory.mktemp("store_ratio"), seeds,
+        compact_ratio=0.001, compact_every=0,
+    )
+    eager_summaries = eager.run()
+    assert all(s.get("compacted") for s in eager_summaries)
+    assert all("tombstone_ratio" in s for s in eager_summaries)
+    assert eager.store.read("frontier_removed").count() == 0
+    assert _seen_set(eager) == _seen_set(base)
+    assert _decisions(eager) == _decisions(base)
+
+    never = _mk_engine(
+        spark, fixture_dir, tmp_path_factory.mktemp("store_never"), seeds,
+        compact_ratio=0.0, compact_every=0,
+    )
+    never_summaries = never.run()
+    assert not any(s.get("compacted") for s in never_summaries)
+    # tombstones accumulate monotonically when nothing compacts
+    ratios = [s["tombstone_ratio"] for s in never_summaries]
+    assert ratios == sorted(ratios) and ratios[-1] > 0
+    assert never.store.read("frontier_removed").count() > 0
+    assert _seen_set(never) == _seen_set(base)
+    assert _decisions(never) == _decisions(base)
+
+
 def test_config_validation():
     with pytest.raises(ValueError):
         CrawlConfig(seeds=[]).validate()
