@@ -48,9 +48,11 @@ def test_ngram_plan_shows_df_filter_stage(spark):
         .toString()
     )
     # the df-filter stage is present: shingle-frequency aggregate
-    # (count > max_df) feeding a broadcast-able hot-flag join
-    assert "count(1)" in plan and "_hot" in plan, plan
-    assert plan.count("Join") >= 3, plan  # hot-flag + candidate + verify joins
+    # (count > max_df) whose hot set is excluded via a broadcast
+    # LEFT ANTI join (hot shingles never become join keys)
+    assert "count(1)" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert plan.count("Join") >= 3, plan  # anti + candidate + verify joins
 
 
 def test_ngram_prefix_filter_is_exact_without_cap(spark):
