@@ -62,10 +62,12 @@ def bmp_encode(pixels: np.ndarray) -> bytes:
     return header + info + rows.tobytes()
 
 
-def _decode_bmp(payload: bytes):
+def _decode_bmp(payload: bytes, want_rgb: bool = False):
     """24bpp BMP → (width, height, grayscale float64 (h, w)) or None if
     the bytes are corrupt/truncated/unsupported — the corruption
-    predicate (reference PIL verify, validator/integrity.py:473-498)."""
+    predicate (reference PIL verify, validator/integrity.py:473-498).
+    With ``want_rgb`` a fourth element, the (h, w, 3) uint8 RGB planes,
+    is appended (the re-encode path needs color, not just luma)."""
     try:
         if len(payload) < 54 or payload[:2] != b"BM":
             return None
@@ -87,9 +89,12 @@ def _decode_bmp(payload: bytes):
         bgr = rows[:, : w * 3].reshape(h, w, 3)
         if h_raw > 0:  # bottom-up storage
             bgr = bgr[::-1]
-        rgb = bgr[:, :, ::-1].astype(np.float64)
+        rgb8 = bgr[:, :, ::-1]
+        rgb = rgb8.astype(np.float64)
         # ITU-R 601 luma (PIL convert("L") weights)
         gray = rgb[:, :, 0] * 0.299 + rgb[:, :, 1] * 0.587 + rgb[:, :, 2] * 0.114
+        if want_rgb:
+            return w, h, gray, np.ascontiguousarray(rgb8)
         return w, h, gray
     except Exception:
         return None
@@ -169,13 +174,15 @@ def _png_unfilter(raw: np.ndarray, h: int, w: int, ch: int) -> np.ndarray:
     return out
 
 
-def _decode_png(payload: bytes):
+def _decode_png(payload: bytes, want_rgb: bool = False):
     """8-bit non-interlaced gray/RGB/RGBA PNG → (width, height,
     grayscale float64 (h, w)) or None if corrupt/truncated/unsupported
     (bad signature, CRC mismatch, short IDAT, palette/16-bit/interlaced).
     Pure stdlib zlib + struct — the corruption predicate for the
     second-most-common crawl image format (reference PIL verify,
-    validator/integrity.py:473-498)."""
+    validator/integrity.py:473-498). With ``want_rgb`` a fourth
+    element, (h, w, 3) uint8 RGB (gray replicated, alpha dropped), is
+    appended for the re-encode path."""
     import zlib
 
     try:
@@ -223,20 +230,30 @@ def _decode_png(payload: bytes):
             gray = (
                 px[:, :, 0] * 0.299 + px[:, :, 1] * 0.587 + px[:, :, 2] * 0.114
             )
+        if want_rgb:
+            if ctype == 2:
+                rgb8 = px[:, :, :3].astype(np.uint8)
+            elif ctype == 6:
+                rgb8 = px[:, :, :3].astype(np.uint8)  # alpha dropped
+            else:  # gray / gray+alpha: replicate luma
+                g8 = px[:, :, 0].astype(np.uint8)
+                rgb8 = np.stack([g8, g8, g8], axis=-1)
+            return int(w), int(h), gray, np.ascontiguousarray(rgb8)
         return int(w), int(h), gray
     except Exception:
         return None
 
 
-def _decode_image(payload: bytes):
+def _decode_image(payload: bytes, want_rgb: bool = False):
     """Dispatch REAL decoders by sniffed format: (fmt, w, h, gray) for
-    decodable payloads, (fmt, None) for corrupt ones of a known-real
-    format, None when no real decoder exists for the format."""
+    decodable payloads — plus the RGB planes when ``want_rgb`` —
+    (fmt, None) for corrupt ones of a known-real format, None when no
+    real decoder exists for the format."""
     fmt = _sniff_format(payload)
     if fmt == "bmp":
-        return ("bmp", _decode_bmp(payload))
+        return ("bmp", _decode_bmp(payload, want_rgb))
     if fmt == "png":
-        return ("png", _decode_png(payload))
+        return ("png", _decode_png(payload, want_rgb))
     return None
 
 
@@ -255,6 +272,30 @@ def _block_means(gray: np.ndarray, n: int = 8) -> np.ndarray:
     s = cp[np.ix_(ys, xs)]
     sums = s[1:, 1:] - s[:-1, 1:] - s[1:, :-1] + s[:-1, :-1]
     return sums / np.outer(np.diff(ys), np.diff(xs))
+
+
+def _area_resample(img: np.ndarray, th: int, tw: int) -> np.ndarray:
+    """Exact area-mean downsample of (h, w) or (h, w, c) uint8 pixels to
+    (th, tw[, c]) uint8 — the rectangular, multi-channel generalization
+    of :func:`_block_means` (same integral-image trick, same
+    nearest-neighbor fallback when a target axis exceeds the source)."""
+    h, w = img.shape[:2]
+    x = img if img.ndim == 3 else img[:, :, None]
+    if th > h or tw > w:  # upscale: nearest (resize only downscales)
+        yi = np.minimum((np.arange(th) * h) // th, h - 1)
+        xi = np.minimum((np.arange(tw) * w) // tw, w - 1)
+        out = x[np.ix_(yi, xi)]
+    else:
+        ys = (np.arange(th + 1) * h) // th
+        xs = (np.arange(tw + 1) * w) // tw
+        cp = np.zeros((h + 1, w + 1, x.shape[2]))
+        cp[1:, 1:] = x.astype(np.float64).cumsum(0).cumsum(1)
+        s = cp[np.ix_(ys, xs)]
+        sums = s[1:, 1:] - s[:-1, 1:] - s[1:, :-1] + s[:-1, :-1]
+        area = np.outer(np.diff(ys), np.diff(xs))[:, :, None]
+        out = np.rint(sums / area).clip(0, 255)
+    out = out.astype(np.uint8)
+    return out if img.ndim == 3 else out[:, :, 0]
 
 
 def ahash8(gray: np.ndarray, hash_size: int = 8) -> str:
@@ -456,6 +497,76 @@ def resize_plan(
         tw.alias("target_width"),
         th.alias("target_height"),
     )
+
+
+RESIZED_FIELDS = (
+    "media_id bigint, format string, width int, height int, "
+    "out_width int, out_height int, resized boolean, out_format string, "
+    "out_bytes bigint, payload_out binary"
+)
+
+
+def _target_dims(w: int, h: int, max_side: int) -> tuple[int, int]:
+    """Aspect-preserving target dims, floor-division rule (exactly
+    expressible in SQL as ``(w * max_side) // greatest(w, h)``): no
+    change when max(w, h) <= max_side, else the long side becomes
+    max_side and the short side scales proportionally (min 1 px)."""
+    m = max(w, h)
+    if m <= max_side:
+        return w, h
+    return max(1, (w * max_side) // m), max(1, (h * max_side) // m)
+
+
+def resize_reencode(
+    df: DataFrame, max_side: int = 512, out_format: str = "same"
+) -> DataFrame:
+    """REAL image re-encode sink step (reference re-encode pipeline,
+    utility/compress/formats.py:62-142 — webp/avif there, BMP/PNG here
+    since those are the sandbox's real codecs): decode payload RGB,
+    exact area-mean downsample so max(w, h) <= max_side, re-encode via
+    the same pure-numpy/stdlib encoders the fixtures use. Images
+    already within bounds pass through byte-identical; undecodable or
+    corrupt payloads yield null ``payload_out`` (the corruption
+    predicate). Arrow-batched mapInPandas — pixels never leave the
+    executor Python worker; partition sizing bounds memory as in
+    :func:`decode_media`."""
+    encoders = {"bmp": bmp_encode, "png": png_encode}
+
+    def one(payload, media_id) -> dict:
+        base = {
+            "media_id": media_id, "format": None, "width": None,
+            "height": None, "out_width": None, "out_height": None,
+            "resized": False, "out_format": None, "out_bytes": 0,
+            "payload_out": None,
+        }
+        if payload is None:
+            return base
+        payload = bytes(payload)
+        base["format"] = _sniff_format(payload)
+        real = _decode_image(payload, want_rgb=True)
+        if real is None or real[1] is None:
+            return base  # no real decoder / corrupt bytes
+        fmt, (w, h, _gray, rgb) = real[0], real[1]
+        tw, th = _target_dims(w, h, max_side)
+        ofmt = fmt if out_format == "same" else out_format
+        if (tw, th) == (w, h) and ofmt == fmt:
+            out = payload  # within bounds: byte-identical passthrough
+        else:
+            out = encoders[ofmt](_area_resample(rgb, th, tw))
+        base.update(
+            format=fmt, width=w, height=h, out_width=tw, out_height=th,
+            resized=(tw, th) != (w, h), out_format=ofmt,
+            out_bytes=len(out), payload_out=out,
+        )
+        return base
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                [one(p, m) for p, m in zip(pdf["payload"], pdf["media_id"])]
+            )
+
+    return df.where(F.col("kind") == "image").mapInPandas(gen, RESIZED_FIELDS)
 
 
 FEATURE_FIELDS = "media_id bigint, feature array<float>"

@@ -134,6 +134,114 @@ def documents_as_media_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(gen, "media_id bigint, kind string, payload binary")
 
 
+MAX_SIDE = 64  # resize bound for media_resize_reencode
+
+
+@register(
+    "media_resize_reencode",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             20 + (doc_id % 50) * 3 AS w,
+             15 + (doc_id % 40) * 2 AS h,
+             doc_id % 251 AS v,
+             doc_id % 97 = 0 AS corrupt
+      FROM documents
+    )
+    SELECT doc_id AS media_id,
+           CAST(CASE WHEN corrupt THEN NULL ELSE w END AS INT) AS width,
+           CAST(CASE WHEN corrupt THEN NULL ELSE h END AS INT) AS height,
+           CAST(CASE WHEN corrupt THEN NULL
+                WHEN greatest(w, h) <= {MAX_SIDE} THEN w
+                ELSE (w * {MAX_SIDE}) // greatest(w, h) END AS INT) AS out_width,
+           CAST(CASE WHEN corrupt THEN NULL
+                WHEN greatest(w, h) <= {MAX_SIDE} THEN h
+                ELSE (h * {MAX_SIDE}) // greatest(w, h) END AS INT) AS out_height,
+           CASE WHEN corrupt THEN FALSE
+                ELSE greatest(w, h) > {MAX_SIDE} END AS resized,
+           CAST(CASE WHEN corrupt THEN NULL ELSE v END AS INT) AS out_value
+    FROM m
+    """,
+    doc="REAL image resize + re-encode end-to-end (reference re-encode "
+    "pipeline, utility/compress/formats.py:62-142): synthesize flat-gray "
+    "BMPs with per-doc dimensions, area-resample + re-encode via "
+    "operators/multimodal.resize_reencode, then RE-DECODE the emitted "
+    "bytes — out_width/out_height/out_value are read back from the "
+    "re-encoded payload, so encode→decode→resample→encode→decode must "
+    "all be correct for the arithmetic oracle to match. Docs with "
+    "doc_id %% 97 == 0 get truncated payloads exercising the corrupt "
+    "branch (null output, resized = false).",
+)
+def media_resize_reencode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pixcrawler_spark.operators.multimodal import (
+        _decode_image,
+        bmp_encode,
+        resize_reencode,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (20 + (F.col("doc_id") % 50) * 3).cast("int").alias("w"),
+        (15 + (F.col("doc_id") % 40) * 2).cast("int").alias("h"),
+        (F.col("doc_id") % 251).cast("int").alias("v"),
+        (F.col("doc_id") % 97 == 0).alias("corrupt"),
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[tuple[int, int, int], bytes] = {}
+
+        def make(w: int, h: int, v: int) -> bytes:
+            key = (w, h, v)
+            if key not in cache:
+                px = np.full((h, w, 3), v, dtype=np.uint8)
+                cache[key] = bmp_encode(px)
+            return cache[key]
+
+        for pdf in batches:
+            payloads = [
+                make(int(w), int(h), int(v))[:30] if c else make(int(w), int(h), int(v))
+                for w, h, v, c in zip(pdf["w"], pdf["h"], pdf["v"], pdf["corrupt"])
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "kind": "image", "payload": payloads}
+            )
+
+    media = d.mapInPandas(synth, "media_id bigint, kind string, payload binary")
+    rr = resize_reencode(media, max_side=MAX_SIDE).select(
+        "media_id", "width", "height", "resized", "payload_out"
+    )
+
+    def redecode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, w, h, rs, p in zip(
+                pdf["media_id"], pdf["width"], pdf["height"],
+                pdf["resized"], pdf["payload_out"],
+            ):
+                ow = oh = ov = None
+                if p is not None:
+                    real = _decode_image(bytes(p))
+                    if real is not None and real[1] is not None:
+                        ow, oh, gray = real[1]
+                        ov = int(np.rint(gray[0, 0]))
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "width": None if pd.isna(w) else int(w),
+                        "height": None if pd.isna(h) else int(h),
+                        "out_width": ow, "out_height": oh,
+                        "resized": bool(rs), "out_value": ov,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return rr.mapInPandas(
+        redecode,
+        "media_id bigint, width int, height int, out_width int, "
+        "out_height int, resized boolean, out_value int",
+    )
+
+
 @register(
     "media_dup_decision",
     oracle=f"""

@@ -482,3 +482,64 @@ def test_feature_extract_plumbing(spark):
     rows2 = {r["media_id"]: list(r["feature"]) for r in
              feature_extract(media, dim=8, deterministic_fake=True).collect()}
     assert rows == rows2
+
+
+def test_resize_reencode_roundtrip(spark):
+    """Real pixel re-encode: downsampled flat/block images re-decode to
+    exact area means; within-bounds images pass through byte-identical;
+    corrupt payloads yield null output."""
+    from pixcrawler_spark.operators.multimodal import (
+        _decode_bmp,
+        _decode_png,
+        bmp_encode,
+        png_encode,
+        resize_reencode,
+    )
+
+    flat = np.zeros((60, 100, 3), np.uint8)
+    flat[:] = (10, 200, 30)  # color: the RGB planes must survive
+    small = np.full((20, 30, 3), 77, np.uint8)
+    big_bmp = bmp_encode(flat)
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(big_bmp)),
+            (2, "image", bytearray(png_encode(flat))),
+            (3, "image", bytearray(bmp_encode(small))),  # within bounds
+            (4, "image", bytearray(big_bmp[:40])),  # truncated header
+            (5, "image", None),
+        ],
+        "media_id long, kind string, payload binary",
+    )
+    out = {
+        r["media_id"]: r
+        for r in resize_reencode(media, max_side=50).collect()
+    }
+    # 100x60 -> 50x30, format preserved, color preserved exactly
+    for mid, dec in ((1, _decode_bmp), (2, _decode_png)):
+        r = out[mid]
+        assert (r["out_width"], r["out_height"]) == (50, 30) and r["resized"]
+        w, h, _g, rgb = dec(bytes(r["payload_out"]), want_rgb=True)
+        assert (w, h) == (50, 30)
+        assert (rgb == np.array([10, 200, 30], np.uint8)).all()
+    assert out[1]["out_format"] == "bmp" and out[2]["out_format"] == "png"
+    # within bounds: byte-identical passthrough
+    assert bytes(out[3]["payload_out"]) == bmp_encode(small)
+    assert not out[3]["resized"]
+    # corrupt / null payloads: null output, corruption predicate intact
+    for mid in (4, 5):
+        assert out[mid]["payload_out"] is None
+        assert not out[mid]["resized"] and out[mid]["out_width"] is None
+
+
+def test_area_resample_exact_block_means(spark):
+    from pixcrawler_spark.operators.multimodal import _area_resample
+
+    blocks = (np.arange(16, dtype=np.uint8).reshape(4, 4)) * 16
+    img = np.repeat(np.repeat(blocks, 4, 0), 4, 1)
+    rgb = np.stack([img] * 3, -1)
+    small = _area_resample(rgb, 8, 8)
+    want = np.repeat(np.repeat(blocks, 2, 0), 2, 1)
+    assert (small[:, :, 0] == want).all()
+    # rectangular target + grayscale 2-D input path
+    g = _area_resample(img.astype(np.uint8), 4, 8)
+    assert g.shape == (4, 8)
