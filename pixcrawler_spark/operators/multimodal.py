@@ -15,10 +15,15 @@ header + pixel data, plus the reference's 8×8 perceptual aHash
 mean threshold, '1' iff px >= avg, MSB-first row-major → 16 hex,
 zero-padded). One deliberate deviation: the 8×8 downsample is an
 exact area mean (integral image) instead of PIL's LANCZOS resample —
-same hash family, deterministic without PIL. Compressed formats
-(png/jpeg) still need PIL/ffmpeg, which this container lacks: they
-raise NotImplementedError unless ``deterministic_fake=True`` (sniffed
-metadata only). Swapping in PIL touches ONLY `_decode_one`.
+same hash family, deterministic without PIL. PNG is decoded for REAL
+via stdlib zlib (chunk/CRC parse, inflate, per-row unfilter) and
+baseline JPEG for REAL via the pure-numpy codec in
+operators/jpegcodec.py (Huffman entropy decode, dequantize, exact
+IDCT, YCbCr→RGB) — so all three common crawl image formats run the
+real path. Audio/video and exotic formats (gif) keep the declared
+stub boundary: NotImplementedError unless ``deterministic_fake=True``
+(sniffed metadata only). Swapping in ffmpeg touches ONLY
+`_decode_one`.
 """
 
 from __future__ import annotations
@@ -254,6 +259,10 @@ def _decode_image(payload: bytes, want_rgb: bool = False):
         return ("bmp", _decode_bmp(payload, want_rgb))
     if fmt == "png":
         return ("png", _decode_png(payload, want_rgb))
+    if fmt == "jpeg":
+        from pixcrawler_spark.operators.jpegcodec import jpeg_decode
+
+        return ("jpeg", jpeg_decode(payload, want_rgb))
     return None
 
 
@@ -319,11 +328,11 @@ def _sniff_format(payload: bytes) -> str:
 
 
 def _decode_one(payload: bytes | None, kind: str, deterministic_fake: bool) -> dict:
-    """Per-item decode. BMP is decoded for REAL (header + pixels +
-    perceptual aHash — reference semantics validator/integrity.py:
-    108-127,462-498); compressed formats need PIL/ffmpeg, absent here,
-    so they keep the declared stub boundary (NotImplementedError
-    without ``deterministic_fake``)."""
+    """Per-item decode. BMP, PNG and baseline JPEG are decoded for REAL
+    (header + pixels + perceptual aHash — reference semantics
+    validator/integrity.py:108-127,462-498); audio/video/exotic formats
+    need ffmpeg, absent here, so they keep the declared stub boundary
+    (NotImplementedError without ``deterministic_fake``)."""
     if payload is None:
         return {
             "n_bytes": 0, "format": None, "width": None, "height": None,
@@ -350,8 +359,9 @@ def _decode_one(payload: bytes | None, kind: str, deterministic_fake: bool) -> d
         }
     if not deterministic_fake:
         raise NotImplementedError(
-            "non-BMP media decode requires PIL/ffmpeg (not in this "
-            "sandbox); pass deterministic_fake=True for the plumbing path"
+            "audio/video/exotic-format decode requires ffmpeg (not in "
+            "this sandbox; bmp/png/jpeg are decoded for real); pass "
+            "deterministic_fake=True for the plumbing path"
         )
     h = hashlib.sha256(payload).hexdigest()
     seed = int(h[:8], 16)
@@ -530,7 +540,9 @@ def resize_reencode(
     predicate). Arrow-batched mapInPandas — pixels never leave the
     executor Python worker; partition sizing bounds memory as in
     :func:`decode_media`."""
-    encoders = {"bmp": bmp_encode, "png": png_encode}
+    from pixcrawler_spark.operators.jpegcodec import jpeg_encode
+
+    encoders = {"bmp": bmp_encode, "png": png_encode, "jpeg": jpeg_encode}
 
     def one(payload, media_id) -> dict:
         base = {

@@ -59,6 +59,17 @@ def pattern_png(group: int) -> bytes:
     return png_encode(_pattern_pixels(group))
 
 
+def pattern_jpeg(group: int) -> bytes:
+    """Same pattern, baseline-JPEG-encoded: exercises the pure-numpy
+    Huffman + IDCT decode path. Lossy, but the 40-vs-200 block margin
+    (~80 gray levels) dwarfs the <1-level quantization error on block
+    means, so the aHash bits are provably unchanged (verified for all
+    300 groups in pytest)."""
+    from pixcrawler_spark.operators.jpegcodec import jpeg_encode
+
+    return jpeg_encode(_pattern_pixels(group), quality=90)
+
+
 def documents_as_media(
     spark: SparkSession, sf_dir: str, fmt: str = "bmp"
 ) -> DataFrame:
@@ -68,7 +79,7 @@ def documents_as_media(
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", (F.col("doc_id") % N_GROUPS).alias("g")
     )
-    make = pattern_png if fmt == "png" else pattern_bmp
+    make = {"png": pattern_png, "jpeg": pattern_jpeg}.get(fmt, pattern_bmp)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cache: dict[int, bytes] = {}
@@ -339,6 +350,43 @@ def dedup_perceptual_ahash_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pixcrawler_spark.operators.multimodal import decode_media
 
     decoded = decode_media(documents_as_media(spark, sf_dir, fmt="png"))
+    return (
+        decoded.groupBy("ahash")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("media_id").alias("canonical_doc"),
+        )
+        .where(F.col("n_dups") > 1)
+    )
+
+
+@register(
+    "dedup_perceptual_ahash_jpeg",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT doc_id,
+             substring(md5(CAST(doc_id % {N_GROUPS} AS VARCHAR)), 1, 16) AS ahash
+      FROM documents
+    )
+    SELECT ahash,
+           CAST(count(*) AS BIGINT) AS n_dups,
+           min(doc_id) AS canonical_doc
+    FROM hashed GROUP BY ahash HAVING count(*) > 1
+    """,
+    doc="The dedup_perceptual_ahash oracle-by-construction over baseline "
+    "JPEG payloads: Spark must earn the md5-derived expected hash "
+    "through the pure-numpy JPEG codec — marker/DHT parse, Huffman "
+    "entropy decode, dequantize, exact IDCT, YCbCr→RGB "
+    "(operators/jpegcodec.py). The encode is LOSSY, so the match "
+    "additionally proves the quantization-error bound: block means "
+    "move <1 gray level, far inside the 80-level pattern margin. A bug "
+    "anywhere in bit-packing, code assignment, zigzag, quant scaling "
+    "or the IDCT breaks the match.",
+)
+def dedup_perceptual_ahash_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pixcrawler_spark.operators.multimodal import decode_media
+
+    decoded = decode_media(documents_as_media(spark, sf_dir, fmt="jpeg"))
     return (
         decoded.groupBy("ahash")
         .agg(
