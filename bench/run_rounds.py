@@ -79,6 +79,10 @@ def main() -> None:
                     help="1 = rounds include outlink discovery + seen-filtered "
                     "frontier merge (the full maintenance path)")
     ap.add_argument("--use-bloom", action="store_true")
+    ap.add_argument("--warm-bloom", action="store_true",
+                    help="prewarm the shard blobs untimed before each "
+                    "pass (steady-state shape: ensure() is a metadata "
+                    "hit; passes measure probe + delta update only)")
     ap.add_argument("--salt-buckets", type=int, default=1)
     ap.add_argument("--no-aqe", action="store_true")
     args = ap.parse_args()
@@ -149,14 +153,32 @@ def main() -> None:
         store.overwrite("frontier", frontier_df, bucket=(("url",), N_BUCKETS))
         store.overwrite("seen", seen_df, bucket=(("url",), N_BUCKETS))
 
+    def prewarm_bloom() -> None:
+        # steady-state shape: in a real crawl the shard blobs persist
+        # across rounds and each round's ensure() is a metadata hit +
+        # delta update. The bench's per-pass state reset leaves a blob
+        # covering round 1, which ensure(covers_round=0) treats as
+        # stale — so WITHOUT this prewarm every timed pass includes a
+        # full O(seen) bitmap rebuild (the cold-recovery path). With
+        # --warm-bloom the rebuild happens here, untimed, and passes
+        # measure the warm path: probe + delta shard update only.
+        if args.use_bloom and args.warm_bloom:
+            from pixcrawler_spark.operators.seen import IncrementalBloom
+
+            IncrementalBloom(store).ensure(
+                seen_df.select("url"), covers_round=0
+            )
+
     # untimed warm-up: python-worker spawn + size-specific AQE codegen
     reset_state()
+    prewarm_bloom()
     eng.run_round(1)
 
     passes = []
     last_summary = None
     for _ in range(args.passes):
         reset_state()
+        prewarm_bloom()
         t0 = time.monotonic()
         last_summary = eng.run_round(1)
         passes.append(time.monotonic() - t0)
