@@ -17,6 +17,7 @@ from pixcrawler_spark.queries import jobops as _jobops  # noqa: F401
 # webtext transitively imports pipeline + scalepath, so those two
 # register here (before crawlops) regardless of the lines below
 from pixcrawler_spark.queries import webtext as _webtext  # noqa: F401
+from pixcrawler_spark.queries import urlgraph as _urlgraph  # noqa: F401
 from pixcrawler_spark.queries import scalepath as _scalepath  # noqa: F401
 from pixcrawler_spark.queries import pipeline as _pipeline  # noqa: F401
 from pixcrawler_spark.queries import crawlops as _crawlops  # noqa: F401

@@ -1,0 +1,247 @@
+"""URL canonicalization and link-graph rank — the frontier-key and
+page-quality primitives a web-scale crawl feeds a training-data
+pipeline.
+
+- ``crawl_url_canonicalize``: canonical frontier keys. The reference
+  keys its seen set on raw URL strings (and its image dedup on
+  content); at 10^10 urls the frontier needs a canonical key or the
+  same resource enqueues many times. Declared canonical form
+  (RFC 3986 normalization subset + tracker stripping): scheme and
+  host lowercased, default port dropped (http:80 / https:443),
+  fragment dropped, ``utm_*`` params dropped, remaining query params
+  sorted, trailing ``?`` removed. Implemented as a GENERAL JVM-side
+  parser (regexp piece-wise split + array_sort rebuild) and verified
+  oracle-by-construction: messy URLs are synthesized in four variants
+  from ``o_orderkey`` and the DuckDB oracle derives the expected
+  canonical string arithmetically — Spark must earn it through the
+  real parser.
+- ``graph_domain_rank``: simplified PageRank over a domain link graph
+  (the CommonCrawl-rank-style quality signal used to filter webtext
+  corpora). Declared semantics (identical in both engines): nodes =
+  src ∪ dst of the distinct edge set; r0 = 1/|N|;
+  r_{k+1}(v) = (1-d)/|N| + d * Σ_{(u,v)∈E} r_k(u)/outdeg(u); d = 0.85;
+  3 iterations; dangling nodes keep the base term only (no dangling-
+  mass redistribution — declared simplification, same both sides).
+  Spark builds the iteration by unrolling joins (each iteration is
+  one edges⋈ranks join + one dst-keyed aggregate — at 10^11 edges
+  each is a bounded-key shuffle; the node list co-partitions across
+  iterations). The oracle unrolls the same three iterations as CTEs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pixcrawler_spark.queries.registry import register
+from pixcrawler_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# crawl_url_canonicalize
+# ---------------------------------------------------------------------------
+
+
+def _synth_url(k: Column) -> Column:
+    ks = k.cast("string")
+    h = (k % 50).cast("string")
+    v = k % 4
+    return (
+        F.when(v == 0, F.concat(
+            F.lit("HTTP://WWW.Shop"), h, F.lit(".COM:80/items/"), ks,
+            F.lit("?b="), (k % 7).cast("string"),
+            F.lit("&a=1&utm_source=x#sec"), ks,
+        ))
+        .when(v == 1, F.concat(
+            F.lit("https://shop"), h, F.lit(".com:443/p/"), ks,
+            F.lit("?z=9&y=8"),
+        ))
+        .when(v == 2, F.concat(
+            F.lit("http://Shop"), h, F.lit(".com/plain/"), ks,
+            F.lit("?utm_campaign=c"),
+        ))
+        .otherwise(F.concat(F.lit("http://shop"), h, F.lit(".com/ok/"), ks))
+    )
+
+
+def canonicalize_url_expr(url: Column) -> Column:
+    """General URL canonicalizer (JVM regexp ops only): lowercase
+    scheme+host, drop default port / fragment / utm_* params, sort the
+    remaining query params, drop a then-empty ``?``. Path case is
+    preserved (paths are case-sensitive; hosts are not)."""
+    scheme = F.lower(
+        F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1)
+    )
+    rest = F.regexp_replace(url, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    nofrag = F.regexp_replace(rest, r"#.*$", "")
+    hostport = F.lower(F.regexp_extract(nofrag, r"^([^/?]+)", 1))
+    host = F.regexp_replace(hostport, r":[0-9]+$", "")
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    default = (
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+        | (port == "")
+    )
+    authority = F.when(default, host).otherwise(
+        F.concat(host, F.lit(":"), port)
+    )
+    pathquery = F.regexp_replace(nofrag, r"^[^/?]+", "")
+    path = F.regexp_extract(pathquery, r"^([^?]*)", 1)
+    query = F.regexp_extract(pathquery, r"\?(.*)$", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.startswith("utm_"),
+        )
+    )
+    qtail = F.when(
+        F.size(params) > 0,
+        F.concat(F.lit("?"), F.array_join(params, "&")),
+    ).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), authority, path, qtail)
+
+
+@register(
+    "crawl_url_canonicalize",
+    oracle="""
+    SELECT o_orderkey AS okey,
+      CASE o_orderkey % 4
+        WHEN 0 THEN 'HTTP://WWW.Shop' || CAST(o_orderkey % 50 AS VARCHAR)
+          || '.COM:80/items/' || CAST(o_orderkey AS VARCHAR)
+          || '?b=' || CAST(o_orderkey % 7 AS VARCHAR)
+          || '&a=1&utm_source=x#sec' || CAST(o_orderkey AS VARCHAR)
+        WHEN 1 THEN 'https://shop' || CAST(o_orderkey % 50 AS VARCHAR)
+          || '.com:443/p/' || CAST(o_orderkey AS VARCHAR) || '?z=9&y=8'
+        WHEN 2 THEN 'http://Shop' || CAST(o_orderkey % 50 AS VARCHAR)
+          || '.com/plain/' || CAST(o_orderkey AS VARCHAR) || '?utm_campaign=c'
+        ELSE 'http://shop' || CAST(o_orderkey % 50 AS VARCHAR)
+          || '.com/ok/' || CAST(o_orderkey AS VARCHAR)
+      END AS url,
+      CASE o_orderkey % 4
+        WHEN 0 THEN 'http://www.shop' || CAST(o_orderkey % 50 AS VARCHAR)
+          || '.com/items/' || CAST(o_orderkey AS VARCHAR)
+          || '?a=1&b=' || CAST(o_orderkey % 7 AS VARCHAR)
+        WHEN 1 THEN 'https://shop' || CAST(o_orderkey % 50 AS VARCHAR)
+          || '.com/p/' || CAST(o_orderkey AS VARCHAR) || '?y=8&z=9'
+        WHEN 2 THEN 'http://shop' || CAST(o_orderkey % 50 AS VARCHAR)
+          || '.com/plain/' || CAST(o_orderkey AS VARCHAR)
+        ELSE 'http://shop' || CAST(o_orderkey % 50 AS VARCHAR)
+          || '.com/ok/' || CAST(o_orderkey AS VARCHAR)
+      END AS canonical_url
+    FROM orders
+    """,
+    doc="Canonical frontier keys: RFC 3986 normalization subset "
+    "(lowercase scheme/host, default-port/fragment/utm strip, sorted "
+    "query) via a general JVM regexp parser; oracle-by-construction "
+    "over 4 synthesized messy-URL variants.",
+)
+def crawl_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    url = _synth_url(F.col("o_orderkey"))
+    return o.select(
+        F.col("o_orderkey").alias("okey"),
+        url.alias("url"),
+        canonicalize_url_expr(url).alias("canonical_url"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_domain_rank
+# ---------------------------------------------------------------------------
+DAMPING = 0.85
+N_ITER = 3
+
+_SQL_RANK = f"""
+    WITH edges AS (
+      SELECT DISTINCT CAST(user_id % 30 AS BIGINT) AS src,
+                      CAST(event_id % 29 AS BIGINT) AS dst
+      FROM events WHERE user_id % 30 <> event_id % 29
+    ),
+    nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    deg AS (
+      SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM edges GROUP BY src
+    ),
+    r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn),
+    {{iters}}
+    SELECT node AS domain, round(rank, 6) AS rank
+    FROM r{N_ITER}
+"""
+
+_SQL_ITER = """
+    r{k} AS (
+      SELECT nodes.node,
+             (1 - {d}) / nn.n
+             + {d} * COALESCE(s{k}.contrib, 0) AS rank
+      FROM nodes CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.dst AS node, sum(r.rank / deg.outdeg) AS contrib
+        FROM edges e
+        JOIN r{prev} r ON r.node = e.src
+        JOIN deg ON deg.src = e.src
+        GROUP BY e.dst
+      ) s{k} ON s{k}.node = nodes.node
+    )"""
+
+
+def _rank_oracle() -> str:
+    iters = ",".join(
+        _SQL_ITER.format(k=k, prev=k - 1, d=DAMPING)
+        for k in range(1, N_ITER + 1)
+    )
+    return _SQL_RANK.format(iters=iters)
+
+
+@register(
+    "graph_domain_rank",
+    oracle=_rank_oracle(),
+    doc="Simplified PageRank (3 unrolled iterations, d=0.85, no "
+    "dangling-mass redistribution — declared identically in both "
+    "engines) over a deterministic domain link graph from events. "
+    "Each iteration is one src-keyed join + one dst-keyed aggregate; "
+    "at web scale both shuffles key on bounded-degree ids and the "
+    "static edge/deg tables can be bucketed once and reused.",
+)
+def graph_domain_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    edges = (
+        ev.select(
+            (F.col("user_id") % 30).cast("long").alias("src"),
+            (F.col("event_id") % 29).cast("long").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    # the graph is iterated three times: evaluate it once
+    edges = edges.persist()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()  # scalar (|domains|, never data-sized)
+    deg = edges.groupBy("src").agg(
+        F.count("*").cast("double").alias("outdeg")
+    )
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for _ in range(N_ITER):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("contrib"))
+        )
+        ranks = nodes.join(
+            contrib, nodes.node == contrib.dst, "left"
+        ).select(
+            "node",
+            (
+                F.lit((1 - DAMPING) / n)
+                + F.lit(DAMPING) * F.coalesce(F.col("contrib"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    return ranks.select(
+        F.col("node").alias("domain"), F.round("rank", 6).alias("rank")
+    )
