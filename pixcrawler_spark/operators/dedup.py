@@ -170,7 +170,9 @@ def lsh_candidate_pairs(
     long = banded.select(
         F.col(id_col),
         F.expr(f"stack({n_bands}, {stack_expr}) as (band_idx, band_val)"),
-    )
+    ).persist()
+    # ^ both self-join sides derive from long; without the persist the
+    # md5-per-shingle signature computation upstream is planned twice
     a = long.select(
         F.col(id_col).alias("id_a"), "band_idx", "band_val"
     )
@@ -471,6 +473,11 @@ def simhash_hamming_pairs(
     assert dims % n_bands == 0 and dims % 32 == 0
     assert max_hamming < n_bands, "pigeonhole guarantee needs bands > distance"
     band_len = dims // n_bands
+    # both self-join sides derive from fps; without this the upstream
+    # fingerprint aggregation (explode + dims conditional sums) is
+    # planned twice — once per side (measured ~2x on the 64-dim
+    # fingerprint at sf0.1). One row per doc, so the cache is tiny.
+    fps = fps.persist()
     stack_expr = ", ".join(
         f"{b}, substring({sim_col}, {b * band_len + 1}, {band_len})"
         for b in range(n_bands)

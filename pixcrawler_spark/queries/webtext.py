@@ -290,7 +290,7 @@ def dedup_embedding_srp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = e.select(
         "vec_id", "embedding",
         similarity.srp_bucket_expr("embedding", PLANES[:N_PLANES]).alias("bucket"),
-    )
+    ).persist()  # both self-join sides: compute the plane dots once
     a, c = b.alias("a"), b.alias("c")
     cos = F.round(
         similarity.cosine_expr(F.col("a.embedding"), F.col("c.embedding")), 6
