@@ -251,9 +251,7 @@ def ngram_jaccard_pairs(
        fans out d² pair rows; one million-doc boilerplate shingle
        would materialize ~10^12 rows). The hot set is tiny by
        construction (few keys can exceed the cap), so it broadcasts
-       into a left_anti join. Capped semantics: a pair whose ONLY
-       shared shingles are hot is not a candidate — by design; such
-       pairs are "similar" through boilerplate, not content.
+       into a left_anti join.
     2. **Prefix filter** (always on): within the joinable shingles,
        each document contributes only its first
        ``L = |S| - ceil(t·|S|) + 1`` shingles in a global hash order
@@ -261,12 +259,6 @@ def ngram_jaccard_pairs(
        Jaccard ≥ t over the joinable universe must share a prefix
        element, so no qualifying candidate is lost, while join fanout
        drops by ~(1-t)² per key.
-
-    Verification is exact over the FULL shingle sets (including hot
-    shingles): candidate pairs join the per-doc sorted shingle arrays
-    and intersect JVM-side — a candidate-sized shuffle, never a
-    corpus² one.
-
     3. **PPJoin length + positional filters** (always on): candidate
        pairs must satisfy t·|a| <= |b| <= |a|/t, and some shared
        prefix element must leave enough suffix on BOTH sides to reach
@@ -274,13 +266,25 @@ def ngram_jaccard_pairs(
        because both documents rank shingles in the SAME global md5
        order (proof in the inline comment).
 
-    The per-doc distinct-shingle SET is built ROW-LOCALLY (a
-    document's shingles derive from its own text — array_distinct,
-    no explode + re-group) and persisted once for the verify sides.
-    The prefix ranks come from one window over the exploded joinable
-    shingles, mirroring the oracle SQL verbatim. md5 ordering is kept
-    (not a cheaper hash) because the DuckDB oracle prefixes by md5
-    and hot-boundary pairs are order-sensitive.
+    **Declared measure**: Jaccard over the JOINABLE shingle universe —
+    boilerplate (df > max_df) is excluded from candidate generation
+    AND from the similarity measure itself, exactly like stop-phrase
+    removal before dedup; a pair similar only through boilerplate is
+    not a near-dup by this measure. With ``max_df=None`` the joinable
+    universe is the full shingle set. Filters 1-3 and the exact verify
+    bound/compute the SAME measure, which is what makes the pruning
+    provably lossless (filters derived from one universe with a verify
+    over a different one would silently drop qualifying pairs whose
+    similarity is carried by hot shingles).
+
+    Verification is exact: candidate pairs join the per-doc joinable
+    shingle arrays and intersect JVM-side — a candidate-sized
+    shuffle, never a corpus² one. The prefix ranks and the verify
+    sets come from ONE window over the exploded joinable shingles
+    (persisted; the set aggregation reuses the window's hash(id)
+    partitioning), mirroring the oracle SQL verbatim. md5 ordering is
+    kept (not a cheaper hash) because the DuckDB oracle prefixes by
+    md5 and hot-boundary pairs are order-sensitive.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
@@ -310,23 +314,24 @@ def ngram_jaccard_pairs(
     else:
         jnr = ex
 
-    # joinable shingles ranked in global md5 order (prefix side) —
-    # one window shuffle on doc id, mirroring the oracle SQL verbatim
+    # joinable shingles ranked in global md5 order — ONE window shuffle
+    # on doc id, mirroring the oracle SQL verbatim; the ranked rows
+    # feed the prefix branch (below) AND the per-doc joinable sets the
+    # verify measures, so they are persisted un-prefix-filtered and the
+    # set aggregation reuses the window's hash(id) partitioning
+    # (exchange-free groupBy)
     wo = Window.partitionBy(id_col).orderBy(F.md5("shingle"), "shingle")
     wn = Window.partitionBy(id_col)
     nj = F.count(F.lit(1)).over(wn)
-    pre = (
-        jnr.select(
-            F.col(id_col),
-            "shingle",
-            F.row_number().over(wo).alias("rk"),
-            nj.alias("nj"),
-        )
-        .where(
-            F.col("rk")
-            <= F.col("nj") - F.ceil(F.lit(threshold) * F.col("nj")) + 1
-        )
-        .persist()  # self-joined below: compute the window once
+    ranked = jnr.select(
+        F.col(id_col),
+        "shingle",
+        F.row_number().over(wo).alias("rk"),
+        nj.alias("nj"),
+    ).persist()
+    pre = ranked.where(
+        F.col("rk")
+        <= F.col("nj") - F.ceil(F.lit(threshold) * F.col("nj")) + 1
     )
     # PPJoin pruning, both lossless under the shared global md5 order:
     # - length filter: Jaccard >= t forces t·|a| <= |b| <= |a|/t
@@ -373,15 +378,25 @@ def ngram_jaccard_pairs(
         .distinct()
     )
 
-    sa = sh.select(
-        F.col(id_col).alias("id_a"),
-        F.col("_ss").alias("set_a"),
-        F.size("_ss").alias("n_a"),
+    # verify over the SAME joinable universe the filters bound — this
+    # is what makes the prefix/length/positional pruning provably
+    # lossless: filters and measure agree. With max_df=None the
+    # joinable universe IS the full shingle set. (Verifying full sets
+    # against joinable-bounded filters would silently drop pairs whose
+    # full-set similarity is carried by hot shingles.)
+    sj = ranked.groupBy(id_col).agg(
+        F.collect_list("shingle").alias("_js"),
+        F.max("nj").alias("n_j"),
     )
-    sb = sh.select(
+    sa = sj.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_js").alias("set_a"),
+        F.col("n_j").alias("n_a"),
+    )
+    sb = sj.select(
         F.col(id_col).alias("id_b"),
-        F.col("_ss").alias("set_b"),
-        F.size("_ss").alias("n_b"),
+        F.col("_js").alias("set_b"),
+        F.col("n_j").alias("n_b"),
     )
     n_inter = F.size(F.array_intersect("set_a", "set_b"))
     jac = n_inter / (F.col("n_a") + F.col("n_b") - n_inter)

@@ -221,11 +221,21 @@ def _decode_png(payload: bytes, want_rgb: bool = False):
         if w <= 0 or h <= 0 or w > 1 << 16 or h > 1 << 16:
             return None
         ch = _PNG_CHANNELS[ctype]
-        raw = np.frombuffer(
-            zlib.decompress(b"".join(idat)), dtype=np.uint8
-        )
-        if raw.size != h * (w * ch + 1):
-            return None  # short/overlong pixel stream
+        expected = h * (w * ch + 1)
+        # bounded inflate: a hostile IDAT can claim tiny IHDR dims but
+        # inflate to gigabytes (classic decompression bomb on untrusted
+        # crawl bytes); cap the output at expected+1 so an overlong
+        # stream is detected without ever allocating it
+        d = zlib.decompressobj()
+        out = d.decompress(b"".join(idat), expected + 1)
+        if (
+            len(out) != expected
+            or d.unconsumed_tail
+            or d.unused_data
+            or not d.eof
+        ):
+            return None  # short/overlong/trailing-junk pixel stream
+        raw = np.frombuffer(out, dtype=np.uint8)
         px = _png_unfilter(raw, h, w, ch).reshape(h, w, ch).astype(np.float64)
         if ctype == 0:
             gray = px[:, :, 0]
@@ -585,7 +595,7 @@ FEATURE_FIELDS = "media_id bigint, feature array<float>"
 
 
 def bmp_gray_feature(payload: bytes, grid: int = 8) -> list[float] | None:
-    """REAL image feature for decodable BMPs/PNGs: grid×grid grayscale
+    """REAL image feature for decodable BMP/PNG/JPEG: grid×grid grayscale
     area-means scaled to [0, 1] — a classic raw-pixel embedding
     (what the aHash thresholds, kept continuous), cosine-comparable
     by every downstream ANN operator. None if undecodable."""
@@ -604,8 +614,8 @@ def feature_extract(
     shape every downstream ANN / near-dup operator consumes —
     operators/similarity.py).
 
-    BMP payloads get a REAL feature (``bmp_gray_feature``: 8×8
-    grayscale block-means when dim=64, or the square grid matching
+    BMP/PNG/JPEG payloads get a REAL feature (``bmp_gray_feature``:
+    8×8 grayscale block-means when dim=64, or the square grid matching
     ``dim``). Other formats need a decoder/model runtime this
     container lacks: they raise unless ``deterministic_fake=True``
     (hash-derived vector, plumbing-only)."""
@@ -628,14 +638,15 @@ def feature_extract(
     def _one(payload) -> list[float]:
         if payload is not None and real_grid is not None:
             p = bytes(payload)
-            if _sniff_format(p) in ("bmp", "png"):
+            if _sniff_format(p) in ("bmp", "png", "jpeg"):
                 feat = bmp_gray_feature(p, real_grid)
                 if feat is not None:
                     return feat
         if not deterministic_fake:
             raise NotImplementedError(
-                "non-BMP feature extraction requires a model runtime; "
-                "pass deterministic_fake=True for the plumbing path"
+                "feature extraction for undecodable formats requires a "
+                "model runtime; pass deterministic_fake=True for the "
+                "plumbing path"
             )
         return _fake_vec(payload)
 

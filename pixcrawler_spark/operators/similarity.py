@@ -131,16 +131,24 @@ def ivf_topk(
     )
     cos_c = F.round(cosine_expr(F.col(vec_col), F.col("cvec")), round_to)
     w = Window.partitionBy(id_col).orderBy(F.desc("_cos_c"), F.asc("cent_id"))
-    assigned = (
-        df.crossJoin(F.broadcast(cents))
-        .withColumn("_cos_c", cos_c)
-        .withColumn("rk", F.row_number().over(w))
-    )
-    lists = assigned.where(F.col("rk") == 1).select(
+
+    def _assign(rows: DataFrame) -> DataFrame:
+        return (
+            rows.crossJoin(F.broadcast(cents))
+            .withColumn("_cos_c", cos_c)
+            .withColumn("rk", F.row_number().over(w))
+        )
+
+    # the corpus-wide n×K assignment feeds ONLY the inverted lists;
+    # the query's probe set re-derives its own assignment from the
+    # single query row (1×K) instead of filtering the corpus-wide
+    # plan — otherwise Catalyst plans the dominant n×K cross join +
+    # window twice, once per branch
+    lists = _assign(df).where(F.col("rk") == 1).select(
         id_col, vec_col, "cent_id"
     )
-    qprobe = assigned.where(
-        (F.col(id_col) == query_id) & (F.col("rk") <= nprobe)
+    qprobe = _assign(df.where(F.col(id_col) == query_id)).where(
+        F.col("rk") <= nprobe
     ).select("cent_id")
     q = df.where(F.col(id_col) == query_id).select(
         F.col(vec_col).alias("_vq")

@@ -106,12 +106,9 @@ def pattern_bmp_variant(group: int, variant: int) -> bytes:
     mean, so no bit can flip (asserted in pytest)."""
     from pixcrawler_spark.operators.multimodal import bmp_encode
 
-    digest = hashlib.md5(str(int(group)).encode()).digest()
-    bits = np.unpackbits(np.frombuffer(digest[:8], dtype=np.uint8))
-    blocks = np.where(bits, 200, 40).astype(np.uint8).reshape(8, 8)
-    px = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1).copy()
-    px[0, 0] += int(variant)  # 40/200 + v<=2: no uint8 overflow
-    return bmp_encode(np.stack([px, px, px], axis=-1))
+    px = _pattern_pixels(group).copy()
+    px[0, 0, :] += np.uint8(variant)  # 40/200 + v<=2: no uint8 overflow
+    return bmp_encode(px)
 
 
 def documents_as_media_variants(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -181,7 +181,6 @@ def dedup_minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_SHINGLES_CTE},
     dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
-    sizes AS (SELECT doc_id, count(*) AS n_sh FROM dsh GROUP BY doc_id),
     hot AS (
       SELECT shingle FROM (
         SELECT shingle, count(*) AS df FROM dsh GROUP BY shingle
@@ -210,23 +209,29 @@ def dedup_minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ceil({JACCARD_THRESHOLD} / (1.0 + {JACCARD_THRESHOLD})
                  * (a.nj + b.nj))
     ),
+    jsizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM joinable GROUP BY doc_id
+    ),
     inter AS (
       SELECT c.id_a, c.id_b, count(*) AS n_inter
       FROM cand c
-      JOIN dsh da ON da.doc_id = c.id_a
-      JOIN dsh db ON db.doc_id = c.id_b AND db.shingle = da.shingle
+      JOIN joinable da ON da.doc_id = c.id_a
+      JOIN joinable db ON db.doc_id = c.id_b AND db.shingle = da.shingle
       GROUP BY c.id_a, c.id_b
     )
     SELECT i.id_a, i.id_b,
            round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
     FROM inter i
-    JOIN sizes sa ON sa.doc_id = i.id_a
-    JOIN sizes sb ON sb.doc_id = i.id_b
+    JOIN jsizes sa ON sa.doc_id = i.id_a
+    JOIN jsizes sb ON sb.doc_id = i.id_b
     WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) >= {JACCARD_THRESHOLD}
     """,
     doc="n-gram Jaccard near-dup pairs, PPJoin-style: df-capped "
-    f"(> {JACCARD_MAX_DF} docs → boilerplate, never a join key) + "
-    "prefix-filtered candidates, exact full-set verify "
+    f"(> {JACCARD_MAX_DF} docs → boilerplate, excluded from join-key "
+    "duty AND from the declared similarity measure, like stop-phrase "
+    "removal) + prefix/length/positional-filtered candidates, exact "
+    "verify over the same joinable universe the filters bound — the "
+    "agreement is what makes the pruning lossless "
     "(operators/dedup.py ngram_jaccard_pairs).",
 )
 def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

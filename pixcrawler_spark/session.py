@@ -84,8 +84,13 @@ def tune_session(spark: SparkSession) -> None:
     including one the correctness/bench driver built itself (the query
     registry calls this from every query fn, idempotently)."""
     try:
-        spark.conf.set(
-            "spark.sql.optimizer.excludedRules", EXCLUDED_OPTIMIZER_RULES
-        )
+        # MERGE with any exclusions the caller already configured —
+        # overwriting would silently re-enable their rules (this runs
+        # before every registered query fn)
+        current = spark.conf.get("spark.sql.optimizer.excludedRules", None)
+        rules = [r for r in (current or "").split(",") if r]
+        if EXCLUDED_OPTIMIZER_RULES not in rules:
+            rules.append(EXCLUDED_OPTIMIZER_RULES)
+        spark.conf.set("spark.sql.optimizer.excludedRules", ",".join(rules))
     except Exception:
         pass  # conf locked down → queries still correct, just slower

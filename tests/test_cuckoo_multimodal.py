@@ -543,3 +543,44 @@ def test_area_resample_exact_block_means(spark):
     # rectangular target + grayscale 2-D input path
     g = _area_resample(img.astype(np.uint8), 4, 8)
     assert g.shape == (4, 8)
+
+
+def test_png_decompression_bomb_rejected_bounded():
+    """A hostile IDAT claiming tiny IHDR dims but inflating to huge
+    output must be rejected WITHOUT allocating the inflated stream
+    (bounded decompressobj, not zlib.decompress) — untrusted crawl
+    bytes hit this path on every validation pass."""
+    import struct
+    import tracemalloc
+    import zlib
+
+    from pixcrawler_spark.operators.multimodal import _PNG_SIG, _decode_png
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)  # claims 4x4 gray
+    bomb_raw = b"\x00" * (200 * 1024 * 1024)  # inflates to 200 MB
+    bomb = (
+        _PNG_SIG + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bomb_raw, 9)) + chunk(b"IEND", b"")
+    )
+    tracemalloc.start()
+    try:
+        assert _decode_png(bomb) is None
+        _, peak = tracemalloc.get_traced_memory()
+    finally:
+        tracemalloc.stop()
+    assert peak < 5 * 1024 * 1024, f"inflated {peak} bytes for a bomb"
+
+    # trailing junk after a valid zlib stream is still corrupt
+    ihdr2 = struct.pack(">IIBBBBB", 4, 1, 8, 0, 0, 0, 0)
+    payload = zlib.compress(b"\x00" + b"\x10\x20\x30\x40") + b"JUNK"
+    p = (
+        _PNG_SIG + chunk(b"IHDR", ihdr2)
+        + chunk(b"IDAT", payload) + chunk(b"IEND", b"")
+    )
+    assert _decode_png(p) is None

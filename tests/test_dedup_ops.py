@@ -129,3 +129,42 @@ def test_simhash_dims_above_32(spark):
     for k in f32:
         assert len(f64[k]) == 64
         assert f64[k][:32] == f32[k]
+
+
+def test_ngram_capped_measure_is_joinable_jaccard(spark):
+    """With max_df set, the reported jaccard is computed over the
+    joinable (non-hot) shingle universe — the same universe the
+    prefix/length/positional filters bound. A verify over FULL sets
+    against joinable-bounded filters would be inconsistent (pairs
+    whose full-set similarity rides on hot shingles would be silently
+    dropped by the length filter)."""
+    boiler = "all rights reserved"
+    rows = [
+        (0, f"{boiler} quick brown fox jumps over the lazy dog today"),
+        (1, f"{boiler} quick brown fox jumps over the lazy dog tonight"),
+    ] + [
+        (i, f"{boiler} unique{i} content{i} words{i} here{i} now{i}")
+        for i in range(2, 32)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    max_df = 5
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            df, "doc_id", "text", n=3, threshold=0.5, max_df=max_df
+        ).collect()
+    }
+
+    def shingles(text):
+        t = text.split()
+        return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    sets = {i: shingles(t) for i, t in rows}
+    from collections import Counter
+
+    df_count = Counter(s for ss in sets.values() for s in ss)
+    hot = {s for s, c in df_count.items() if c > max_df}
+    joinable = {i: ss - hot for i, ss in sets.items()}
+    a, b = joinable[0], joinable[1]
+    want = round(len(a & b) / len(a | b), 4)
+    assert got[(0, 1)] == want
