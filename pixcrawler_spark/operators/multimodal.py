@@ -393,14 +393,34 @@ def decode_media(df: DataFrame, deterministic_fake: bool = False) -> DataFrame:
 
     One Python stage; Arrow moves the binary column in batches. At
     scale, repartition upstream so partitions stay under a few hundred
-    MB of payload (spark.sql.files.maxPartitionBytes governs scans)."""
+    MB of payload (spark.sql.files.maxPartitionBytes governs scans).
+
+    Byte-identical payloads within a task decode once (keyed by a
+    cheap digest): crawl corpora run 30-50% exact-duplicate images, so
+    dedupe-before-decode removes that fraction of the Python decode
+    cost while still REALLY decoding every distinct payload."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        cache: dict[tuple, dict] = {}
         for pdf in batches:
-            meta = [
-                _decode_one(p, k, deterministic_fake)
-                for p, k in zip(pdf["payload"], pdf["kind"])
-            ]
+            meta = []
+            for p, k in zip(pdf["payload"], pdf["kind"]):
+                key = (
+                    None
+                    if p is None
+                    else (_hl.sha256(bytes(p)).digest(), str(k))
+                )
+                if key is None or key not in cache:
+                    m = _decode_one(p, k, deterministic_fake)
+                    if key is None:
+                        meta.append(m)
+                        continue
+                    if len(cache) >= 1 << 20:  # bound task memory:
+                        cache.clear()  # meta rows are ~100 B each
+                    cache[key] = m
+                meta.append(cache[key])
             out = pd.DataFrame(meta)
             out.insert(0, "media_id", pdf["media_id"].to_numpy())
             out.insert(1, "kind", pdf["kind"].to_numpy())
