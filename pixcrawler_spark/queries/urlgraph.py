@@ -97,7 +97,13 @@ def canonicalize_url_expr(url: Column) -> Column:
         F.size(params) > 0,
         F.concat(F.lit("?"), F.array_join(params, "&")),
     ).otherwise(F.lit(""))
-    return F.concat(scheme, F.lit("://"), authority, path, qtail)
+    # totality on untrusted input: canonicalization is defined for
+    # absolute URLs only — anything without a scheme passes through
+    # unchanged (building '://'+host for schemeless text would emit
+    # malformed keys and break idempotence; fuzz-tested)
+    return F.when(
+        scheme == "", url
+    ).otherwise(F.concat(scheme, F.lit("://"), authority, path, qtail))
 
 
 @register(
