@@ -357,6 +357,25 @@ class TableStore:
         ]
         return self.spark.read.parquet(*paths)
 
+    def read_at(self, table: str, snapshot: str) -> DataFrame:
+        """Non-destructive time travel (the Iceberg ``VERSION AS OF``
+        analog): read the table as of ``snapshot`` — every snapshot up
+        to and including it — without touching the manifest.
+        ``rollback_to`` is the destructive variant; this one lets a
+        debugging/audit reader inspect any committed state while the
+        crawl keeps appending."""
+        manifest = self._read_manifest(table)
+        if manifest["bucketed"] is not None:
+            raise ValueError("read_at is not supported for bucketed tables")
+        snaps = [s["snap"] for s in manifest["snapshots"]]
+        if snapshot not in snaps:
+            raise KeyError(snapshot)
+        paths = [
+            os.path.join(self._tdir(table), "data", s)
+            for s in snaps[: snaps.index(snapshot) + 1]
+        ]
+        return self.spark.read.parquet(*paths)
+
     def append_local(self, table: str, rows: list[tuple], schema: StructType,
                      tag: str | None = None) -> str:
         """Commit a tiny driver-side row set as a snapshot WITHOUT a

@@ -164,3 +164,21 @@ def test_sharded_bloom_update_touches_only_delta_shards(spark, tmp_path):
     unchanged = sum(before[j] == after[j] for j in before)
     assert unchanged >= 5
     assert after != before
+
+
+def test_read_at_time_travel_nondestructive(spark, tmp_path):
+    import pytest
+
+    store = TableStore(spark, str(tmp_path / "tt"))
+    store.append("t", _urls(spark, 0, 10, 1), tag="round-1")
+    snap1 = store.snapshots("t")[-1]
+    store.append("t", _urls(spark, 10, 30, 2), tag="round-2")
+    snap2 = store.snapshots("t")[-1]
+    # as-of reads see exactly the committed prefix…
+    assert store.read_at("t", snap1).count() == 10
+    assert store.read_at("t", snap2).count() == 30
+    # …and do not modify current state (unlike rollback_to)
+    assert store.read("t").count() == 30
+    assert store.snapshots("t") == [snap1, snap2]
+    with pytest.raises(KeyError):
+        store.read_at("t", "nope")
