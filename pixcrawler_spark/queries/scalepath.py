@@ -366,3 +366,115 @@ def text_bottomk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("sketch")
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall@k — the observable that justifies every approximate path
+# ---------------------------------------------------------------------------
+RECALL_K = 10
+
+
+@register(
+    "ann_recall_at_k",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS vq FROM embeddings WHERE vec_id = 0),
+    brute AS (
+      SELECT vec_id FROM embeddings, q
+      ORDER BY {_sql_cos('embedding', 'vq')} DESC, vec_id
+      LIMIT {RECALL_K}
+    ),
+    b4 AS (
+      SELECT vec_id, embedding, {_SQL_BUCKET} AS bucket FROM embeddings
+    ),
+    q4 AS (SELECT embedding AS vq, bucket AS qb FROM b4 WHERE vec_id = 0),
+    srp AS (
+      SELECT b4.vec_id FROM b4, q4 WHERE b4.bucket = q4.qb
+      ORDER BY {_sql_cos('b4.embedding', 'vq')} DESC, vec_id
+      LIMIT {RECALL_K}
+    ),
+    b6 AS (
+      SELECT vec_id, embedding, {_sql_bucket(N_PLANES_FINE)} AS bucket
+      FROM embeddings
+    ),
+    q6 AS (SELECT embedding AS vq, bucket AS qb FROM b6 WHERE vec_id = 0),
+    probes AS (
+      SELECT vq,
+             list_prepend(qb, list_transform(range(1, {N_PLANES_FINE + 1}),
+               j -> substring(qb, 1, j - 1)
+                    || (CASE WHEN substring(qb, j, 1) = '1' THEN '0' ELSE '1' END)
+                    || substring(qb, j + 1, {N_PLANES_FINE} - j))) AS pb
+      FROM q6
+    ),
+    mp AS (
+      SELECT b6.vec_id FROM b6, probes WHERE list_contains(pb, b6.bucket)
+      ORDER BY {_sql_cos('b6.embedding', 'vq')} DESC, vec_id
+      LIMIT {RECALL_K}
+    ),
+    cents AS (
+      SELECT vec_id AS cent_id, embedding AS cvec
+      FROM embeddings WHERE vec_id < {K_CENTROIDS}
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, cent_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY {_sql_cos('embedding', 'cvec')} DESC,
+                                         cent_id) AS rk
+      FROM embeddings CROSS JOIN cents
+    ),
+    ivf AS (
+      SELECT l.vec_id FROM
+        (SELECT vec_id, embedding, cent_id FROM assigned WHERE rk = 1) l, q
+      WHERE l.cent_id IN
+        (SELECT cent_id FROM assigned WHERE vec_id = 0 AND rk <= {NPROBE})
+      ORDER BY {_sql_cos('l.embedding', 'vq')} DESC, vec_id
+      LIMIT {RECALL_K}
+    ),
+    approx AS (
+      SELECT 'srp_lsh' AS method, vec_id FROM srp
+      UNION ALL SELECT 'srp_multiprobe', vec_id FROM mp
+      UNION ALL SELECT 'ivf', vec_id FROM ivf
+    )
+    SELECT method,
+           CAST(count(*) AS BIGINT) AS returned,
+           CAST(sum(CASE WHEN vec_id IN (SELECT vec_id FROM brute)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+           round(sum(CASE WHEN vec_id IN (SELECT vec_id FROM brute)
+                          THEN 1 ELSE 0 END) / {float(RECALL_K)}, 4) AS recall
+    FROM approx GROUP BY method
+    """,
+    doc=f"Recall@{RECALL_K} of every approximate ANN path (SRP-LSH, "
+    "SRP multi-probe, IVF) against the brute-force truth, computed "
+    "INSIDE the engine (one plan, no driver collect) — the observable "
+    "that justifies planes_for/centroids_for/nprobe at any corpus "
+    "scale; at 10^10 vectors the truth side samples queries instead "
+    "of scanning, same plan shape.",
+)
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pixcrawler_spark.queries.pipeline import ann_cosine_topk
+
+    truth = ann_cosine_topk(spark, sf_dir).select("vec_id", F.lit(1).alias("_hit"))
+    approx = (
+        ann_srp_lsh_topk(spark, sf_dir)
+        .select(F.lit("srp_lsh").alias("method"), "vec_id")
+        .unionByName(
+            ann_srp_multiprobe_topk(spark, sf_dir).select(
+                F.lit("srp_multiprobe").alias("method"), "vec_id"
+            )
+        )
+        .unionByName(
+            ann_ivf_topk(spark, sf_dir).select(
+                F.lit("ivf").alias("method"), "vec_id"
+            )
+        )
+    )
+    return (
+        approx.join(F.broadcast(truth), "vec_id", "left")
+        .groupBy("method")
+        .agg(
+            F.count(F.lit(1)).alias("returned"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("hits"),
+        )
+        .withColumn(
+            "recall", F.round(F.col("hits") / F.lit(float(RECALL_K)), 4)
+        )
+    )
