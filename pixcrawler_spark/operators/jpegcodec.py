@@ -285,7 +285,12 @@ class _BitReader:
                 raise EOFError  # EOI / unexpected marker mid-scan
         else:
             self.pos += 1
-        self.acc = (self.acc << 8) | b
+        # Mask off already-consumed high bits before shifting: without
+        # this, acc grows into an unbounded bignum and every shift is
+        # O(bytes consumed so far), making decode quadratic in
+        # entropy-stream length (~54 s for a 242 KB stream — an
+        # executor-hang DoS on this untrusted-input path).
+        self.acc = (((self.acc & ((1 << self.n) - 1)) << 8)) | b
         self.n += 8
 
     def bit(self) -> int:

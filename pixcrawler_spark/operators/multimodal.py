@@ -417,8 +417,14 @@ def decode_media(df: DataFrame, deterministic_fake: bool = False) -> DataFrame:
                     if key is None:
                         meta.append(m)
                         continue
-                    if len(cache) >= 1 << 20:  # bound task memory:
-                        cache.clear()  # meta rows are ~100 B each
+                    # Bound task memory. Each entry is a 32 B digest key
+                    # plus an 8-field dict (several hundred bytes with
+                    # Python overhead), so 2^17 entries caps the cache
+                    # at roughly 64-128 MB per worker. Evict oldest
+                    # incrementally instead of clearing so accumulated
+                    # hits on hot payloads survive the cap.
+                    while len(cache) >= 1 << 17:
+                        cache.pop(next(iter(cache)))
                     cache[key] = m
                 meta.append(cache[key])
             out = pd.DataFrame(meta)
@@ -573,6 +579,13 @@ def resize_reencode(
     from pixcrawler_spark.operators.jpegcodec import jpeg_encode
 
     encoders = {"bmp": bmp_encode, "png": png_encode, "jpeg": jpeg_encode}
+    if out_format != "same" and out_format not in encoders:
+        # Fail fast on the driver: an invalid format would otherwise
+        # surface as a bare KeyError deep inside an Arrow worker.
+        raise ValueError(
+            f"out_format must be 'same' or one of {sorted(encoders)}, "
+            f"got {out_format!r}"
+        )
 
     def one(payload, media_id) -> dict:
         base = {

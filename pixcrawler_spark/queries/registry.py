@@ -52,6 +52,13 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
             # apply the engine's runtime tuning (optimizer-rule
             # exclusions) there too
             tune_session(spark)
+            # Queries persist() self-join sides (fingerprints, edges,
+            # bucket frames) and never unpersist — correct within one
+            # query, but across a multi-query driver/bench run the
+            # cached blocks accumulate and silently eat storage memory.
+            # Each query starts from a clean cache; the previous
+            # query's DataFrame was already materialized by the caller.
+            spark.catalog.clearCache()
             return fn(spark, sf_dir)
 
         REGISTRY[name] = Query(name=name, fn=tuned, oracle=oracle, doc=doc)

@@ -108,3 +108,40 @@ def test_resize_reencode_jpeg(spark):
     out = jpeg_decode(bytes(r["payload_out"]), want_rgb=True)
     assert out is not None and (out[0], out[1]) == (50, 30)
     assert np.abs(out[3].astype(int) - 90).max() <= 2
+
+
+def test_bitreader_acc_stays_bounded():
+    """Regression: _BitReader._fill must mask off consumed bits.
+
+    Without the mask, ``acc`` grows into an unbounded bignum and each
+    shift is O(bytes consumed), making decode quadratic in stream
+    length (an executor-hang DoS for ~1 MB crawl JPEGs). Asserting the
+    invariant directly is deterministic under any host weather, unlike
+    a wall-clock bound.
+    """
+    from pixcrawler_spark.operators.jpegcodec import _BitReader
+
+    data = bytes((i * 37 + 11) % 255 for i in range(200_000))  # no 0xFF
+    r = _BitReader(data, 0)
+    consumed = 0
+    while consumed + 7 < len(data) * 8:
+        r.bits(7)
+        consumed += 7
+        assert r.acc.bit_length() <= 16, "acc grew unbounded: _fill lost its mask"
+
+
+def test_large_jpeg_decodes_fast():
+    """A ~1 MB entropy stream must decode in seconds, not minutes."""
+    import time
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(512, 512, 3), dtype=np.uint8)
+    blob = jpeg_encode(img)
+    assert len(blob) > 200_000  # noise compresses poorly: big scan
+    t0 = time.monotonic()
+    out = jpeg_decode(blob, want_rgb=True)
+    dt = time.monotonic() - t0
+    assert out is not None and (out[0], out[1]) == (512, 512)
+    # linear decode measures ~0.5-2 s; the quadratic bug took >50 s at
+    # a quarter of this size. 30 s leaves 10x+ headroom for bad hosts.
+    assert dt < 30, f"jpeg decode took {dt:.1f}s - quadratic regression?"
