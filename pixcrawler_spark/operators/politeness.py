@@ -29,12 +29,24 @@ DEFAULT_CRAWL_DELAY_S = 0.5
 DEFAULT_MAX_PER_ROUND = 10
 DEFAULT_ROUND_LEN_S = 10.0
 
-# url → registrable domain / path, JVM-side regex (no Python).
+# url → registrable domain / path, JVM-side expressions (no Python).
 DOMAIN_RE = r"^[a-z]+://([^/]+)"
 PATH_RE = r"^[a-z]+://[^/]+/(.*)$"
 
 
 def domain_expr(url_col: str = "url"):
+    """Politeness / salting key: the PSL *registrable domain* (eTLD+1),
+    not the raw host — ``www.example.co.uk`` and ``shop.example.co.uk``
+    share one budget; ``a.blogspot.com`` and ``b.blogspot.com`` (private
+    public suffix) do not. Pure JVM expressions; see operators/psl.py.
+    """
+    from pixcrawler_spark.operators.psl import registrable_domain_expr
+
+    return registrable_domain_expr(url_col)
+
+
+def host_expr(url_col: str = "url"):
+    """Raw host (netloc) — kept for robots keying, which is per-host."""
     return F.regexp_extract(F.col(url_col), DOMAIN_RE, 1)
 
 

@@ -6,10 +6,92 @@ correctness window (see queries/__init__.py rotation schedule).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pixcrawler_spark.operators.psl import psl_oracle_sql, registrable_domain_expr
 from pixcrawler_spark.queries.registry import register
 from pixcrawler_spark.sources.tables import load_table
 
 __all__: list[str] = []
+
+
+# ---------------------------------------------------------------------------
+# crawl_registrable_domain — PSL eTLD+1 over synthesized messy hosts
+# ---------------------------------------------------------------------------
+# Deterministic messy-URL synthesis from orders keys, same pattern as
+# crawl_url_canonicalize: both engines build the identical URL from
+# o_orderkey, so the oracle checks the PSL *logic*, not the fixture.
+# The 12 variants cover: plain com, deep subdomain, multi-label ICANN
+# suffixes (co.uk, com.au 4-label host, ac.jp), private suffixes
+# (blogspot.com x2 subdomains, github.io), wildcard (*.ck both depths),
+# exception (!www.ck), IPv4 with port, host == public suffix.
+_HOST_VARIANTS = [
+    "example{k}.com",
+    "a.b.example{k}.com",
+    "www.example{k}.co.uk",
+    "shop.deep.example{k}.com.au",
+    "lab.example{k}.ac.jp",
+    "user{k}.blogspot.com",
+    "x.user{k}.blogspot.com",
+    "proj{k}.github.io",
+    "foo{k}.bar.ck",
+    "sub.foo{k}.bar.ck",
+    "www.ck",
+    "10.{k}.0.1:8080",
+]
+
+
+def _synth_host_sql(key: str) -> str:
+    cases = " ".join(
+        f"WHEN {i} THEN '" + v.replace("{k}", "' || CAST(" + key + " % 97 AS VARCHAR) || '") + "'"
+        for i, v in enumerate(_HOST_VARIANTS)
+    )
+    return f"(CASE {key} % {len(_HOST_VARIANTS)} {cases} END)"
+
+
+def _synth_host_col(key: Column) -> Column:
+    k = key % 97
+    expr = None
+    for i, v in enumerate(_HOST_VARIANTS):
+        pre, _, post = v.partition("{k}")
+        col = (
+            F.concat(F.lit(pre), k.cast("string"), F.lit(post))
+            if "{k}" in v
+            else F.lit(v)
+        )
+        cond = key % len(_HOST_VARIANTS) == i
+        expr = F.when(cond, col) if expr is None else expr.when(cond, col)
+    return expr
+
+
+@register(
+    "crawl_registrable_domain",
+    oracle=f"""
+    SELECT okey, url,
+           {psl_oracle_sql("lower(regexp_replace(regexp_replace(string_split(url, '://')[2], '/.*$', ''), ':[0-9]+$', ''))")} AS registrable
+    FROM (
+      SELECT CAST(o_orderkey AS BIGINT) AS okey,
+             'https://' || {_synth_host_sql('o_orderkey')} || '/p/' ||
+             CAST(o_orderkey AS VARCHAR) AS url
+      FROM orders
+    )
+    """,
+    doc="PSL registrable-domain (eTLD+1) extraction — the politeness / "
+    "frontier-salting key (VERDICT r3 weak component, now real): "
+    "longest-match against a pinned publicsuffix.org snapshot with "
+    "wildcard + exception semantics, as pure split/slice/INSET JVM "
+    "expressions (no UDF, no join, no shuffle). The DuckDB oracle SQL "
+    "is GENERATED from the same snapshot (operators/psl.py), so one "
+    "truth table feeds both engines.",
+)
+def crawl_registrable_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey").cast("long")
+    url = F.concat(
+        F.lit("https://"), _synth_host_col(key), F.lit("/p/"), key.cast("string")
+    )
+    base = o.select(key.alias("okey"), url.alias("url"))
+    return base.select(
+        "okey", "url", registrable_domain_expr("url").alias("registrable")
+    )
