@@ -143,6 +143,34 @@ def minhash_signatures(
     return sh.select(F.col(id_col), *[_sig(i) for i in range(num_hashes)])
 
 
+def band_long(
+    sigs: DataFrame,
+    id_col: str,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Unpivot signatures into the banded long form: one row per
+    (id, band_idx, band_val), band_val = concat of ``band_size``
+    consecutive signature components. This is the join-key layout LSH
+    banding shuffles on; a persisted / stored copy of it (bucketed on
+    the band columns) is what incremental dedup reuses round to round.
+    """
+    assert num_hashes % band_size == 0
+    n_bands = num_hashes // band_size
+    bands = [
+        F.concat_ws(
+            "|", *[F.col(f"sig_{b * band_size + j}") for j in range(band_size)]
+        ).alias(f"band_{b}")
+        for b in range(n_bands)
+    ]
+    banded = sigs.select(F.col(id_col), *bands)
+    stack_expr = ", ".join(f"{b}, band_{b}" for b in range(n_bands))
+    return banded.select(
+        F.col(id_col),
+        F.expr(f"stack({n_bands}, {stack_expr}) as (band_idx, band_val)"),
+    )
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     id_col: str,
@@ -156,21 +184,7 @@ def lsh_candidate_pairs(
     by construction; duplicate-heavy corpora produce hot bands which AQE
     skew-join splits.
     """
-    assert num_hashes % band_size == 0
-    n_bands = num_hashes // band_size
-    bands = [
-        F.concat_ws(
-            "|", *[F.col(f"sig_{b * band_size + j}") for j in range(band_size)]
-        ).alias(f"band_{b}")
-        for b in range(n_bands)
-    ]
-    banded = sigs.select(F.col(id_col), *bands)
-    # unpivot: one row per (id, band_idx, band_val)
-    stack_expr = ", ".join(f"{b}, band_{b}" for b in range(n_bands))
-    long = banded.select(
-        F.col(id_col),
-        F.expr(f"stack({n_bands}, {stack_expr}) as (band_idx, band_val)"),
-    ).persist()
+    long = band_long(sigs, id_col, num_hashes, band_size).persist()
     # ^ both self-join sides derive from long; without the persist the
     # md5-per-shingle signature computation upstream is planned twice
     a = long.select(
@@ -184,6 +198,76 @@ def lsh_candidate_pairs(
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+    )
+
+
+def incremental_minhash_pairs(
+    delta_sigs: DataFrame,
+    corpus_sigs: DataFrame,
+    id_col: str,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    min_est: float = 0.5,
+) -> DataFrame:
+    """Delta-vs-(corpus ∪ delta) MinHash near-dup discovery — the
+    round-loop form of :func:`minhash_estimated_pairs`.
+
+    A 100 TB pipeline never rescans the accumulated corpus to dedup a
+    new round's delta: corpus *signatures* are computed exactly once
+    (when their round was the delta), appended to a store, and each
+    round joins only ``delta_bands × all_bands``. Returns every pair
+    with at least one side in the delta — over rounds, the union of
+    these is exactly the batch recompute's pairs (each pair surfaces
+    in the round its later member arrives; test_dedup_incremental
+    asserts this equivalence through a TableStore round loop).
+
+    Caller contract: delta ids are disjoint from corpus ids (the
+    seen-set anti-join guarantees this in the crawl plan).
+
+    Scale shape: the only data-sized shuffle is the band equi-join,
+    and only the delta side moves if the stored corpus long form is
+    bucketed on (band_idx, band_val) — the same static-side/bucketed
+    pattern as the seen-set anti-join (plans/crawl.py). Signature
+    agreement verifies candidates on fixed-width rows; document text
+    is never touched after signature time.
+
+    Returns (id_a, id_b, est_jaccard), a < b, est >= min_est.
+    """
+    delta_sigs = delta_sigs.persist()
+    all_sigs = corpus_sigs.unionByName(delta_sigs).persist()
+    d_long = band_long(delta_sigs, id_col, num_hashes, band_size)
+    a_long = band_long(all_sigs, id_col, num_hashes, band_size)
+    cand = (
+        d_long.select(F.col(id_col).alias("_d"), "band_idx", "band_val")
+        .join(
+            a_long.select(F.col(id_col).alias("_o"), "band_idx", "band_val"),
+            ["band_idx", "band_val"],
+        )
+        .where(F.col("_d") != F.col("_o"))
+        .select(
+            F.least("_d", "_o").alias("id_a"),
+            F.greatest("_d", "_o").alias("id_b"),
+        )
+        .distinct()
+    )
+    sa = all_sigs.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"sig_{i}").alias(f"a_{i}") for i in range(num_hashes)],
+    )
+    sb = all_sigs.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"sig_{i}").alias(f"b_{i}") for i in range(num_hashes)],
+    )
+    matches = sum(
+        (F.col(f"a_{i}") == F.col(f"b_{i}")).cast("int")
+        for i in range(num_hashes)
+    )
+    est = F.round(matches / F.lit(float(num_hashes)), 4)
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", est.alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= min_est)
     )
 
 

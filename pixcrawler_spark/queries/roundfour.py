@@ -9,7 +9,18 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pixcrawler_spark.operators import dedup
 from pixcrawler_spark.operators.psl import psl_oracle_sql, registrable_domain_expr
+from pixcrawler_spark.queries.pipeline import (
+    BAND_SIZE,
+    JACCARD_THRESHOLD,
+    NUM_HASHES,
+    SHINGLE_N,
+    _BAND_SELECTS,
+    _SHINGLES_CTE,
+    _SIG_COLS,
+    _SIG_MATCH,
+)
 from pixcrawler_spark.queries.registry import register
 from pixcrawler_spark.sources.tables import load_table
 
@@ -94,4 +105,67 @@ def crawl_registrable_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = o.select(key.alias("okey"), url.alias("url"))
     return base.select(
         "okey", "url", registrable_domain_expr("url").alias("registrable")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_incremental — delta-vs-corpus near-dup (the round-loop form)
+# ---------------------------------------------------------------------------
+# Deterministic split of the documents table: docs with doc_id % 5 == 0
+# are "this round's delta", the rest are the accumulated corpus whose
+# signatures a real pipeline reads back from the TableStore instead of
+# recomputing (tests/test_dedup_incremental.py drives that store path
+# and asserts round-union == batch equivalence; this query checks the
+# MATH on a fixed split). The oracle is the batch MinHash pipeline
+# restricted to pairs touching the delta — the defining property of
+# incremental dedup.
+DELTA_MOD = 5
+
+
+@register(
+    "dedup_minhash_incremental",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sigs AS (
+      SELECT doc_id,
+             {_SIG_COLS}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+{_BAND_SELECTS}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+      WHERE a.doc_id < b.doc_id
+        AND (a.doc_id % {DELTA_MOD} = 0 OR b.doc_id % {DELTA_MOD} = 0)
+    )
+    SELECT c.id_a, c.id_b,
+           round(({_SIG_MATCH}) / {NUM_HASHES}.0, 4) AS est_jaccard
+    FROM cand c
+    JOIN sigs sa ON sa.doc_id = c.id_a
+    JOIN sigs sb ON sb.doc_id = c.id_b
+    WHERE round(({_SIG_MATCH}) / {NUM_HASHES}.0, 4) >= {JACCARD_THRESHOLD}
+    """,
+    doc="Incremental (delta-vs-corpus) MinHash dedup: new docs band-join "
+    "against corpus signatures computed in earlier rounds, so the "
+    "corpus text is never rescanned and only the delta shuffles when "
+    "the stored corpus long form is bucketed on the band key. Oracle = "
+    "batch pipeline restricted to pairs touching the delta.",
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    delta = d.where(F.col("doc_id") % DELTA_MOD == 0)
+    corpus = d.where(F.col("doc_id") % DELTA_MOD != 0)
+    delta_sigs = dedup.minhash_signatures(
+        delta, "doc_id", "text", n=SHINGLE_N, num_hashes=NUM_HASHES
+    )
+    corpus_sigs = dedup.minhash_signatures(
+        corpus, "doc_id", "text", n=SHINGLE_N, num_hashes=NUM_HASHES
+    )
+    return dedup.incremental_minhash_pairs(
+        delta_sigs, corpus_sigs, "doc_id",
+        num_hashes=NUM_HASHES, band_size=BAND_SIZE,
+        min_est=JACCARD_THRESHOLD,
     )
