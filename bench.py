@@ -41,7 +41,41 @@ HEADLINE = [
     "crawl_politeness_admission",
     "crawl_robots_parse",
     "crawl_seen_anti_join",
+    # round 4
+    "crawl_registrable_domain",
+    "dedup_minhash_incremental",
 ]
+
+
+def dedup_skew_probe(spark, sf_dir: str) -> float:
+    """Planted-skew dedup probe (VERDICT r3 item 3): documents corpus
+    with ~1/3 exact duplicates in Zipf-ish clusters (every 100th doc
+    replicated 50x), run through the linear-output keep-first decision
+    (representative collapse + salted band join). Times the guarded
+    path end-to-end; tests/test_dedup_skew.py asserts its balance."""
+    from pixcrawler_spark.operators import dedup
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    copies = (
+        d.where(F.col("doc_id") % 100 == 0)
+        .select(
+            F.explode(F.sequence(F.lit(1), F.lit(50))).alias("_i"),
+            F.col("doc_id"),
+            F.col("text"),
+        )
+        .select(
+            (F.col("doc_id") * 1000 + F.col("_i") + 10_000_000).alias("doc_id"),
+            "text",
+        )
+    )
+    corpus = d.unionByName(copies)
+    t0 = time.monotonic()
+    fps = dedup.simhash_fingerprints(corpus, "doc_id", "text", dims=64)
+    out = dedup.simhash_dup_decision(fps, "doc_id", dims=64)
+    out.write.format("noop").mode("overwrite").save()
+    return time.monotonic() - t0
 
 
 def _time_query(spark, name: str, sf_dir: str) -> float:
@@ -109,6 +143,8 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         timings[name] = round(_time_query(spark, name, sf_dir), 3)
+
+    timings["dedup_skew_decision"] = round(dedup_skew_probe(spark, sf_dir), 3)
 
     urls, secs = frontier_throughput(spark, sf_dir)
     timings["frontier_round"] = round(secs, 3)

@@ -552,6 +552,8 @@ def simhash_hamming_pairs(
     dims: int = 64,
     max_hamming: int = 3,
     n_bands: int = 4,
+    max_bucket: int | None = None,
+    salt_threshold: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs within hamming distance ``max_hamming`` of a
     ``dims``-bit SimHash — the Manku-style band trick that makes
@@ -566,6 +568,26 @@ def simhash_hamming_pairs(
 
     Verify: exact hamming via 32-bit chunks — conv(binary) → xor →
     bit_count, all JVM codegen.
+
+    Two planted-skew guards, both off by default:
+
+    ``salt_threshold`` — SEMANTICS-PRESERVING two-sided salt split. A
+    bucket of m rows puts ~m²/2 candidate rows in one shuffle task; any
+    bucket over the threshold splits into g = ceil(m / threshold) salt
+    groups per side, the join key grows to (band, salt_a, salt_b), and
+    each side replicates g× so every pair still meets EXACTLY once —
+    but inside one of g² sub-keys, bounding any task's output for that
+    bucket by threshold². Replication cost is confined to the
+    over-threshold buckets (the broadcast list of them is tiny,
+    ≤ rows/threshold entries).
+
+    ``max_bucket`` — LOSSY boilerplate cut (same shape as ngram's
+    df-cap): buckets beyond it are excluded from join-key duty
+    entirely. The pigeonhole guarantee then degrades DECLAREDLY: a pair
+    survives if ANY of its n_bands shared bands is under the cap, so
+    recall loss is confined to mega-clusters hot in every band — which
+    representative collapse (:func:`simhash_dup_decision`) removes for
+    exact dups, the mass of a duplicate-heavy crawl.
 
     Returns (id_a, id_b, hamming) with id_a < id_b.
     """
@@ -586,14 +608,54 @@ def simhash_hamming_pairs(
         F.col(sim_col),
         F.expr(f"stack({n_bands}, {stack_expr}) as (band_idx, band_val)"),
     )
-    a = long.select(
-        F.col(id_col).alias("id_a"), F.col(sim_col).alias("sim_a"),
-        "band_idx", "band_val",
-    )
-    b = long.select(
-        F.col(id_col).alias("id_b"), F.col(sim_col).alias("sim_b"),
-        "band_idx", "band_val",
-    )
+    if max_bucket is not None:
+        hot = (
+            long.groupBy("band_idx", "band_val")
+            .count()
+            .where(F.col("count") > max_bucket)
+            .select("band_idx", "band_val")
+        )
+        long = long.join(
+            F.broadcast(hot), ["band_idx", "band_val"], "left_anti"
+        )
+    join_keys = ["band_idx", "band_val"]
+    if salt_threshold is not None:
+        big = (
+            long.groupBy("band_idx", "band_val")
+            .count()
+            .where(F.col("count") > salt_threshold)
+            .select(
+                "band_idx",
+                "band_val",
+                F.ceil(F.col("count") / salt_threshold)
+                .cast("int")
+                .alias("_g"),
+            )
+        )
+        long = long.join(F.broadcast(big), ["band_idx", "band_val"], "left")
+        long = long.withColumn("_g", F.coalesce(F.col("_g"), F.lit(1)))
+        own = F.pmod(F.xxhash64(F.col(id_col)), F.col("_g")).cast("int")
+        rep = F.explode(F.sequence(F.lit(0), F.col("_g") - 1))
+        a = long.select(
+            F.col(id_col).alias("id_a"), F.col(sim_col).alias("sim_a"),
+            "band_idx", "band_val",
+            own.alias("salt_a"), rep.alias("salt_b"),
+        )
+        b = long.select(
+            F.col(id_col).alias("id_b"), F.col(sim_col).alias("sim_b"),
+            "band_idx", "band_val",
+            rep.alias("salt_a"), own.alias("salt_b"),
+        )
+        join_keys = join_keys + ["salt_a", "salt_b"]
+    else:
+        a = long.select(
+            F.col(id_col).alias("id_a"), F.col(sim_col).alias("sim_a"),
+            "band_idx", "band_val",
+        )
+        b = long.select(
+            F.col(id_col).alias("id_b"), F.col(sim_col).alias("sim_b"),
+            "band_idx", "band_val",
+        )
     chunks = [
         F.bit_count(
             F.conv(F.substring("sim_a", i * 32 + 1, 32), 2, 10)
@@ -610,9 +672,68 @@ def simhash_hamming_pairs(
     for c in chunks[1:]:
         ham = ham + c
     return (
-        a.join(b, ["band_idx", "band_val"])
+        a.join(b, join_keys)
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", ham.cast("long").alias("hamming"))
         .distinct()
         .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_dup_decision(
+    fps: DataFrame,
+    id_col: str,
+    sim_col: str = "simhash",
+    dims: int = 64,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    max_bucket: int = 64,
+    salt_threshold: int | None = 8,
+) -> DataFrame:
+    """Keep-first duplicate DECISION per document — the linear-output
+    form a duplicate-heavy (30-50% dup, realistic for CC crawls) corpus
+    needs. Emitting all dup PAIRS of a cluster of m copies is O(m²) by
+    definition; the pipeline-relevant answer is one row per doc.
+
+    Planted-skew survival, in order:
+    1. REPRESENTATIVE COLLAPSE: identical fingerprints group to one
+       representative (min id) first. An exact-dup cluster of any size
+       becomes ONE row in the band join — the quadratic hot bucket for
+       exact dups (the mass of a dup-heavy corpus) never exists.
+    2. BAND-BUCKET CAP: near-dup mega-clusters (distinct fingerprints,
+       shared bands) are bounded by ``max_bucket``
+       (:func:`simhash_hamming_pairs`); tests assert no task sees more
+       than 2x the mean candidate rows at a 40% planted dup rate.
+    3. The rep→docs fan-back is a linear 1:1 join on the fingerprint
+       value plus a min-aggregate — no quadratic anywhere.
+
+    Declared semantics (single pass, not transitive closure): a
+    representative is a dup if some candidate representative with a
+    smaller id sits within ``max_hamming``; every doc inherits its
+    representative's decision, and non-representative group members are
+    dups of the group head. Returns
+    (id, canonical_id, is_dup) — is_dup ⇔ id != canonical_id.
+    """
+    fps = fps.persist()
+    groups = fps.groupBy(sim_col).agg(F.min(id_col).alias("rep_id"))
+    rep_fps = groups.select(F.col("rep_id").alias(id_col), sim_col)
+    rep_pairs = simhash_hamming_pairs(
+        rep_fps, id_col, sim_col, dims, max_hamming, n_bands,
+        max_bucket, salt_threshold,
+    )
+    # keep-first: each dup representative points at its smallest
+    # sufficiently-near representative
+    rep_dup = rep_pairs.groupBy("id_b").agg(F.min("id_a").alias("dup_of"))
+    decided = (
+        fps.join(groups, sim_col)  # linear: one group row per fp value
+        .join(rep_dup, F.col("rep_id") == F.col("id_b"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("dup_of"), F.col("rep_id")).alias("canonical_id"),
+        )
+    )
+    return decided.select(
+        id_col,
+        "canonical_id",
+        (F.col(id_col) != F.col("canonical_id")).alias("is_dup"),
     )
