@@ -100,14 +100,30 @@ def _token_bucket_fn(capacity: int):
     def fn(key, pdf_iter, state):
         (domain,) = key
         used = state.get[0] if state.exists else 0
-        out = []
-        for pdf in pdf_iter:
+        # Accumulate the group's chunks BEFORE sorting: Arrow may split
+        # one domain's micro-batch rows across several chunks, and
+        # chunk-local sorting would admit by arrival order instead of
+        # priority. Per-domain rows are politeness-bounded (≤ a few
+        # hundred candidates reach one domain's bucket per batch), so
+        # the concat is small by construction.
+        chunks = [pdf for pdf in pdf_iter]
+        pdf = pd.concat(chunks) if chunks else pd.DataFrame(
+            columns=["domain", "url", "depth"]
+        )
+        # same priority order as the batch engine's admit() window:
+        # depth asc, score desc (when present), url asc
+        if "score" in pdf.columns:
+            pdf = pdf.sort_values(
+                ["depth", "score", "url"], ascending=[True, False, True]
+            )
+        else:
             pdf = pdf.sort_values(["depth", "url"])
-            for _, row in pdf.iterrows():
-                admit = used < capacity
-                if admit:
-                    used += 1
-                out.append((domain, row["url"], int(row["depth"]), admit))
+        out = []
+        for _, row in pdf.iterrows():
+            admit = used < capacity
+            if admit:
+                used += 1
+            out.append((domain, row["url"], int(row["depth"]), admit))
         state.update((used,))
         yield pd.DataFrame(
             out, columns=["domain", "url", "depth", "admitted"]
