@@ -97,34 +97,20 @@ def nprobe_for(k_centroids: int, recall_boost: int = 1) -> int:
     return max(1, math.ceil(k_centroids / 8) * recall_boost)
 
 
-def ivf_topk(
+def ivf_candidates(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     query_id: int,
-    k: int = 10,
-    expected_n: int | None = None,
-    k_centroids: int | None = None,
-    nprobe: int | None = None,
+    k_centroids: int,
+    nprobe: int,
     round_to: int = 6,
 ) -> DataFrame:
-    """IVF-style ANN top-k with DERIVED parameters: K=centroids_for(n)
-    coarse centroids (the first K vectors as the deterministic
-    codebook), every vector assigned to its nearest centroid's
-    inverted list (broadcast codebook — K rows — so assignment is one
-    scan), the query probes its ``nprobe`` nearest lists, exact cosine
-    within them. Candidates shrink by ~nprobe/K.
-
-    Pass ``expected_n`` (corpus-size hint) to derive K and nprobe, or
-    override either explicitly (``k_centroids``/``nprobe``)."""
+    """The probed-inverted-list candidate set ``(id, cosine)`` BEFORE
+    the top-k cut — the costed unit of the IVF family (candidate count
+    / corpus size = scan fraction, the denominator of the recall/cost
+    frontier). ``ivf_topk`` is this plus order+limit."""
     from pyspark.sql import Window
-
-    if k_centroids is None:
-        if expected_n is None:
-            raise ValueError("need expected_n or k_centroids")
-        k_centroids = centroids_for(expected_n)
-    if nprobe is None:
-        nprobe = nprobe_for(k_centroids)
 
     cents = df.where(F.col(id_col) < k_centroids).select(
         F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec")
@@ -158,6 +144,40 @@ def ivf_topk(
         lists.join(F.broadcast(qprobe), "cent_id")
         .crossJoin(F.broadcast(q))
         .select(F.col(id_col), cos_q.alias("cosine"))
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id: int,
+    k: int = 10,
+    expected_n: int | None = None,
+    k_centroids: int | None = None,
+    nprobe: int | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF-style ANN top-k with DERIVED parameters: K=centroids_for(n)
+    coarse centroids (the first K vectors as the deterministic
+    codebook), every vector assigned to its nearest centroid's
+    inverted list (broadcast codebook — K rows — so assignment is one
+    scan), the query probes its ``nprobe`` nearest lists, exact cosine
+    within them. Candidates shrink by ~nprobe/K.
+
+    Pass ``expected_n`` (corpus-size hint) to derive K and nprobe, or
+    override either explicitly (``k_centroids``/``nprobe``)."""
+    if k_centroids is None:
+        if expected_n is None:
+            raise ValueError("need expected_n or k_centroids")
+        k_centroids = centroids_for(expected_n)
+    if nprobe is None:
+        nprobe = nprobe_for(k_centroids)
+
+    return (
+        ivf_candidates(
+            df, id_col, vec_col, query_id, k_centroids, nprobe, round_to
+        )
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
@@ -196,26 +216,53 @@ def ivf_list_stats(
     )
 
 
-def multiprobe_buckets_expr(bucket_col: Column, n_planes: int) -> Column:
-    """Multi-probe bucket set: the bucket itself plus every bucket at
-    hamming distance 1 (one flipped plane bit) — n_planes + 1 probes.
-    Standard multi-probe LSH: raising the plane count shrinks buckets
-    but splits near neighbors across adjacent buckets; probing the
-    1-flip neighborhood recovers them at probe cost linear in planes,
-    not exponential."""
-    flips = []
-    for j in range(1, n_planes + 1):
-        flipped_bit = F.when(
-            F.substring(bucket_col, j, 1) == "1", F.lit("0")
-        ).otherwise(F.lit("1"))
-        flips.append(
-            F.concat(
-                F.substring(bucket_col, 1, j - 1),
-                flipped_bit,
-                F.substring(bucket_col, j + 1, n_planes - j),
+def _flipped_bucket_expr(
+    bucket_col: Column, n_planes: int, positions: tuple[int, ...]
+) -> Column:
+    """The bucket string with the 1-based ``positions`` bits flipped —
+    pure substring/concat expressions, stays in codegen."""
+    pieces: list[Column] = []
+    prev = 0
+    for j in sorted(positions):
+        if j - 1 > prev:
+            pieces.append(F.substring(bucket_col, prev + 1, j - 1 - prev))
+        pieces.append(
+            F.when(
+                F.substring(bucket_col, j, 1) == "1", F.lit("0")
+            ).otherwise(F.lit("1"))
+        )
+        prev = j
+    if n_planes > prev:
+        pieces.append(F.substring(bucket_col, prev + 1, n_planes - prev))
+    return F.concat(*pieces)
+
+
+def multiprobe_buckets_expr(
+    bucket_col: Column, n_planes: int, radius: int = 1
+) -> Column:
+    """Multi-probe bucket set: the bucket itself plus every bucket
+    within hamming distance ``radius`` (flipped plane bits) —
+    sum_{r<=radius} C(n_planes, r) probes. Standard multi-probe LSH:
+    raising the plane count shrinks buckets but splits near neighbors
+    across adjacent buckets; probing the flip neighborhood recovers
+    them at probe cost polynomial in planes (linear at radius 1,
+    quadratic at radius 2), not exponential. The probe list is an
+    EXPRESSION over the query's bucket, so the candidate lookup stays
+    an equi-join on the bucket key (array membership on the broadcast
+    single-query side here; explode-to-equi-join for query batches)."""
+    from itertools import combinations
+
+    probes = [F.array(bucket_col)]
+    for r in range(1, radius + 1):
+        probes.append(
+            F.array(
+                *[
+                    _flipped_bucket_expr(bucket_col, n_planes, pos)
+                    for pos in combinations(range(1, n_planes + 1), r)
+                ]
             )
         )
-    return F.concat(F.array(bucket_col), F.array(*flips))
+    return F.concat(*probes)
 
 
 def srp_bucket_expr(vec_col: str, planes: list[list[float]]) -> Column:

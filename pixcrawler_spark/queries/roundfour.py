@@ -10,8 +10,19 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pixcrawler_spark.operators import dedup
+from pixcrawler_spark.operators import similarity
+from pixcrawler_spark.queries.annparams import (
+    K_CENTROIDS,
+    N_PLANES,
+    N_PLANES_FINE,
+    NPROBE,
+    PLANES,
+    RECALL_K,
+    _sql_bucket,
+)
 from pixcrawler_spark.operators.psl import psl_oracle_sql, registrable_domain_expr
 from pixcrawler_spark.queries.pipeline import (
+    _sql_cos,
     BAND_SIZE,
     JACCARD_THRESHOLD,
     NUM_HASHES,
@@ -169,3 +180,221 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=NUM_HASHES, band_size=BAND_SIZE,
         min_est=JACCARD_THRESHOLD,
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall/cost frontier — recall is meaningless without its price
+# ---------------------------------------------------------------------------
+# Each config is one point on the frontier: recall@10 vs the fraction
+# of the corpus the method actually scanned (candidates / n; brute
+# force = 1.0). Measured on the driver's sf0.01 fixture (n=500,
+# neighbors at ~74 deg / cosine ~0.3 — LOW contrast, the hard case):
+#
+#   method       frac_scanned  recall
+#   srp_p4_r0        0.062      0.4     geometry-capped (see below)
+#   srp_p6_r1        0.128      0.4
+#   srp_p6_r2        0.348      0.6     <- radius-2 proves the cap:
+#   ivf_k23_p1       0.058      0.9        even 35% of the corpus
+#   ivf_k23_p2       0.106      1.0        recovers only 0.6
+#   ivf_k23_p3       0.140      1.0
+#
+# The production-recommendable config this query exists to surface:
+# IVF with K=centroids_for(n) and nprobe=1 reaches recall 0.9 at 5.8%
+# of brute-force cost (>=0.9 at <10%); nprobe=2 buys recall 1.0 at
+# ~11%. SRP's cap is the fixture's 74-degree neighbor geometry: per-
+# plane collision probability is 1 - 74/180 = 0.589 vs 0.5 for a
+# random point, so bucketing barely concentrates true neighbors —
+# radius-2 probing (22 of 64 buckets, 34.8% scanned) still measures
+# 0.6. On low-contrast corpora choose IVF; SRP wins only when
+# neighbors are tight (< ~30 deg).
+FRONTIER_SRP = [
+    (f"srp_p{N_PLANES}_r0", N_PLANES, 0),
+    (f"srp_p{N_PLANES_FINE}_r1", N_PLANES_FINE, 1),
+    (f"srp_p{N_PLANES_FINE}_r2", N_PLANES_FINE, 2),
+]
+FRONTIER_IVF = [
+    (f"ivf_k{K_CENTROIDS}_p{p}", K_CENTROIDS, p) for p in (1, 2, NPROBE)
+]
+
+
+def _sql_ham_filter(n_planes: int, radius: int) -> str:
+    if radius == 0:
+        return "b.bucket = qb.qb"
+    return (
+        f"length(list_filter(range(1, {n_planes + 1}), "
+        "j -> substring(b.bucket, CAST(j AS INT), 1) "
+        "<> substring(qb.qb, CAST(j AS INT), 1))) "
+        f"<= {radius}"
+    )
+
+
+def _frontier_oracle() -> str:
+    ctes = [
+        "q0 AS (SELECT embedding AS vq FROM embeddings WHERE vec_id = 0)",
+        "total AS (SELECT count(*) AS n FROM embeddings)",
+        f"""brute AS (
+      SELECT vec_id FROM embeddings, q0
+      ORDER BY {_sql_cos('embedding', 'vq')} DESC, vec_id
+      LIMIT {RECALL_K})""",
+    ]
+    row_names = []
+    for method, n_planes, radius in FRONTIER_SRP:
+        m = method
+        ctes.append(
+            f"""b_{m} AS (
+      SELECT vec_id, embedding, {_sql_bucket(n_planes)} AS bucket
+      FROM embeddings)"""
+        )
+        ctes.append(
+            f"qb_{m} AS (SELECT bucket AS qb FROM b_{m} WHERE vec_id = 0)"
+        )
+        ctes.append(
+            f"""cand_{m} AS (
+      SELECT b.vec_id, {_sql_cos('b.embedding', 'vq')} AS cosine
+      FROM b_{m} b, qb_{m} qb, q0
+      WHERE {_sql_ham_filter(n_planes, radius)})"""
+        )
+        row_names.append(m)
+    ctes.append(
+        f"""cents AS (
+      SELECT vec_id AS cent_id, embedding AS cvec
+      FROM embeddings WHERE vec_id < {K_CENTROIDS})"""
+    )
+    ctes.append(
+        f"""assigned AS (
+      SELECT vec_id, embedding, cent_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY {_sql_cos('embedding', 'cvec')} DESC,
+                                         cent_id) AS rk
+      FROM embeddings CROSS JOIN cents)"""
+    )
+    ctes.append(
+        "lists AS (SELECT vec_id, embedding, cent_id "
+        "FROM assigned WHERE rk = 1)"
+    )
+    for method, _kc, nprobe in FRONTIER_IVF:
+        m = method
+        ctes.append(
+            f"""cand_{m} AS (
+      SELECT l.vec_id, {_sql_cos('l.embedding', 'vq')} AS cosine
+      FROM lists l, q0
+      WHERE l.cent_id IN
+        (SELECT cent_id FROM assigned WHERE vec_id = 0 AND rk <= {nprobe}))"""
+        )
+        row_names.append(m)
+    for m in row_names:
+        ctes.append(
+            f"""top_{m} AS (
+      SELECT vec_id FROM cand_{m} ORDER BY cosine DESC, vec_id
+      LIMIT {RECALL_K})"""
+        )
+        ctes.append(
+            f"""row_{m} AS (
+      SELECT '{m}' AS method,
+             (SELECT count(*) FROM cand_{m}) AS candidates,
+             (SELECT count(*) FROM top_{m}
+              WHERE vec_id IN (SELECT vec_id FROM brute)) AS hits)"""
+        )
+    union = "\n      UNION ALL ".join(f"SELECT * FROM row_{m}" for m in row_names)
+    return f"""
+    WITH {','.join(ctes)}
+    SELECT method,
+           CAST(candidates AS BIGINT) AS candidates,
+           round(CAST(candidates AS DOUBLE) / (SELECT n FROM total), 4)
+             AS frac_scanned,
+           CAST(hits AS BIGINT) AS hits,
+           round(hits / {float(RECALL_K)}, 4) AS recall
+    FROM ({union})
+    """
+
+
+@register(
+    "ann_recall_cost_frontier",
+    oracle=_frontier_oracle(),
+    doc="The recall/COST frontier of every ANN config — recall@10 "
+    "next to the fraction of the corpus the method scanned "
+    "(candidates/n; brute force = 1.0), computed inside the engine "
+    "in one plan. Headline: IVF K=centroids_for(n), nprobe=1 reaches "
+    "recall 0.9 at 5.8% of brute cost (the >=0.9-at-<10% production "
+    "config); nprobe=2 -> 1.0 at ~11%. Radius-2 multiprobe SRP "
+    "(22 buckets, 34.8% scanned) still caps at 0.6 — empirical proof "
+    "the fixture's 74-degree neighbor geometry (0.589 per-plane "
+    "collision vs 0.5 random) bounds SRP, so the decision rule is: "
+    "low-contrast corpus -> IVF; SRP only for tight-neighbor spaces.",
+)
+def ann_recall_cost_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pixcrawler_spark.queries.pipeline import ann_cosine_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    total = e.agg(F.count(F.lit(1)).alias("_n"))
+    truth = ann_cosine_topk(spark, sf_dir).select(
+        "vec_id", F.lit(1).alias("_hit")
+    )
+
+    def _row(method: str, cand: DataFrame) -> DataFrame:
+        topk_hits = (
+            cand.orderBy(F.desc("cosine"), F.asc("vec_id"))
+            .limit(RECALL_K)
+            .join(F.broadcast(truth), "vec_id", "left")
+            .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("hits"))
+        )
+        return (
+            cand.agg(F.count(F.lit(1)).alias("candidates"))
+            .crossJoin(topk_hits)
+            .crossJoin(total)
+            .select(
+                F.lit(method).alias("method"),
+                F.col("candidates"),
+                F.round(F.col("candidates") / F.col("_n"), 4).alias(
+                    "frac_scanned"
+                ),
+                F.col("hits"),
+                F.round(F.col("hits") / F.lit(float(RECALL_K)), 4).alias(
+                    "recall"
+                ),
+            )
+        )
+
+    rows = []
+    for method, n_planes, radius in FRONTIER_SRP:
+        bucketed = e.select(
+            "vec_id",
+            "embedding",
+            similarity.srp_bucket_expr(
+                "embedding", PLANES[:n_planes]
+            ).alias("bucket"),
+        )
+        if radius == 0:
+            q = bucketed.where(F.col("vec_id") == 0).select(
+                F.col("embedding").alias("vq"), F.col("bucket").alias("qb")
+            )
+            cand = bucketed.join(
+                F.broadcast(q), F.col("bucket") == F.col("qb")
+            )
+        else:
+            q = bucketed.where(F.col("vec_id") == 0).select(
+                F.col("embedding").alias("vq"),
+                similarity.multiprobe_buckets_expr(
+                    F.col("bucket"), n_planes, radius
+                ).alias("pb"),
+            )
+            cand = bucketed.join(
+                F.broadcast(q), F.array_contains(F.col("pb"), F.col("bucket"))
+            )
+        cos = F.round(
+            similarity.cosine_expr(F.col("embedding"), F.col("vq")), 6
+        )
+        rows.append(_row(method, cand.select("vec_id", cos.alias("cosine"))))
+    for method, kc, nprobe in FRONTIER_IVF:
+        rows.append(
+            _row(
+                method,
+                similarity.ivf_candidates(
+                    e, "vec_id", "embedding", 0, kc, nprobe
+                ),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

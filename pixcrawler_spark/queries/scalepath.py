@@ -25,50 +25,22 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pixcrawler_spark.operators import dedup, similarity
+from pixcrawler_spark.queries.annparams import (
+    EXPECTED_N,
+    K_CENTROIDS,
+    N_PLANES,
+    N_PLANES_FINE,
+    NPROBE,
+    PLANES,
+    RECALL_K,
+    _SQL_BUCKET,
+    _sql_bucket,
+)
 from pixcrawler_spark.queries.pipeline import _DOT, _sql_cos, _SHINGLES_CTE
 from pixcrawler_spark.queries.registry import register
 from pixcrawler_spark.sources.tables import load_table
 
-EMB_DIM = 64
-# Plane count DERIVED from the expected corpus, not a fixed literal
-# (similarity.planes_for): bucket population ~ n / 2^planes. The
-# registered-query constants document the derivation — the oracle SQL
-# is static text, so the expectation is a declared constant, not a
-# runtime count; re-derive when pointing the query at a new corpus
-# scale. EXPECTED_N=512 ≈ the embeddings table at the driver's sf0.01.
-EXPECTED_N = 512
-N_PLANES = similarity.planes_for(EXPECTED_N, target_bucket=32)  # = 4
-N_PLANES_FINE = similarity.planes_for(EXPECTED_N, target_bucket=8)  # = 6
 SKETCH_K = 5
-
-
-def _plane(p: int) -> list[float]:
-    """Deterministic hyperplane p: component j =
-    (((p*EMB_DIM + j) * 2654435761 + 42) mod 2001 - 1000) / 1000 —
-    a documented integer-hash literal shared with the SQL oracle."""
-    return [
-        ((((p * EMB_DIM + j) * 2654435761 + 42) % 2001) - 1000) / 1000.0
-        for j in range(EMB_DIM)
-    ]
-
-
-PLANES = [_plane(p) for p in range(max(N_PLANES, N_PLANES_FINE))]
-
-
-def _sql_plane_bit(p: int) -> str:
-    lit = "[" + ", ".join(f"{x!r}" for x in PLANES[p]) + "]"
-    dot = (
-        f"list_sum(list_transform(range(len(embedding)), "
-        f"i -> CAST(embedding[i + 1] AS DOUBLE) * ({lit})[i + 1]))"
-    )
-    return f"CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END"
-
-
-def _sql_bucket(n_planes: int) -> str:
-    return " || ".join(_sql_plane_bit(p) for p in range(n_planes))
-
-
-_SQL_BUCKET = _sql_bucket(N_PLANES)
 
 
 @register(
@@ -210,12 +182,8 @@ def ann_srp_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return outs[0].unionByName(outs[1])
 
 
-# IVF parameters DERIVED from the expected corpus (similarity.
-# centroids_for / nprobe_for — same pattern as planes_for above): the
-# oracle SQL is static text, so the expectation is the declared
-# EXPECTED_N constant; re-derive when pointing at a new corpus scale.
-K_CENTROIDS = similarity.centroids_for(EXPECTED_N)  # = 23 at n=512
-NPROBE = similarity.nprobe_for(K_CENTROIDS)  # = 3 (recall knob)
+# IVF parameters (K_CENTROIDS/NPROBE) are shared constants in
+# queries/annparams.py — derived there from EXPECTED_N.
 
 
 @register(
@@ -371,7 +339,7 @@ def text_bottomk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # ANN recall@k — the observable that justifies every approximate path
 # ---------------------------------------------------------------------------
-RECALL_K = 10
+# RECALL_K is shared from queries/annparams.py
 
 
 @register(
