@@ -86,12 +86,23 @@ def _time_query(spark, name: str, sf_dir: str) -> float:
     return time.monotonic() - t0
 
 
-def frontier_throughput(spark, sf_dir: str) -> tuple[float, float]:
+def frontier_throughput(
+    spark, sf_dir: str, factor: int = 1
+) -> tuple[float, float]:
     """Fetch-decision throughput probe: one micro-round's operator chain
     (seen anti-join → politeness rank → decision CASE) over a frontier
-    derived from lineitem (the largest table at this sf). Returns
-    (urls, seconds)."""
+    derived from lineitem (the largest table at this sf), replicated
+    ``factor``x with distinct url suffixes (domain count stays fixed,
+    so per-domain skew GROWS with factor — the realistic direction).
+    Returns (urls, seconds)."""
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    if factor > 1:
+        li = li.select(
+            F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("_i"),
+            "l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice",
+        )
+    else:
+        li = li.withColumn("_i", F.lit(0))
     frontier = li.select(
         F.concat(
             F.lit("https://d"),
@@ -100,9 +111,11 @@ def frontier_throughput(spark, sf_dir: str) -> tuple[float, float]:
             F.col("l_orderkey"),
             F.lit("-"),
             F.col("l_linenumber"),
+            F.lit("-r"),
+            F.col("_i"),
         ).alias("url"),
         (F.col("l_suppkey") % 1000).cast("string").alias("domain"),
-        (F.col("l_orderkey") % 550).alias("status"),
+        ((F.col("l_orderkey") + F.col("_i")) % 550).alias("status"),
         F.col("l_extendedprice").alias("score"),
     )
     n = frontier.count()
@@ -129,6 +142,93 @@ def frontier_throughput(spark, sf_dir: str) -> tuple[float, float]:
     return float(n), time.monotonic() - t0
 
 
+# ---------------------------------------------------------------------------
+# Scaled section (VERDICT r3 item 7): the dedup family + frontier round
+# at ``factor``x the base sf — the sf-continuity datapoint, with
+# q01_pricing_summary (base sf, unchanged since round 1) timed alongside
+# as the host-weather control so round-over-round comparisons can be
+# normalized against VM CPU-supply swings.
+# ---------------------------------------------------------------------------
+def scaled_documents(spark, sf_dir: str, factor: int):
+    """Deterministic ``factor``x expansion of the documents corpus.
+    Replica 0 keeps the original text. Every 3rd base doc's replicas
+    stay byte-identical — planted exact-dup cliques, ~30% duplicate
+    mass at factor 10, the realistic CC density — while the remaining
+    docs' replicas get word-reversed text plus replica/doc tokens
+    (distinct from the source; near-dups only of their own sibling
+    replicas, a documented property the decision operators' cluster
+    collapse is built for). Pure JVM expressions, zero Python."""
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    perturbed = F.concat(
+        F.concat_ws(" ", F.reverse(F.split(F.col("text"), " "))),
+        F.lit(" zq"),
+        F.col("_i").cast("string"),
+        F.lit("x"),
+        F.col("doc_id").cast("string"),
+    )
+    return (
+        d.select(
+            F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("_i"),
+            "doc_id",
+            "text",
+        )
+        .select(
+            (F.col("doc_id") + F.col("_i") * F.lit(1_000_000_000)).alias(
+                "doc_id"
+            ),
+            F.when(
+                (F.col("_i") == 0) | (F.col("doc_id") % 3 == 0),
+                F.col("text"),
+            )
+            .otherwise(perturbed)
+            .alias("text"),
+        )
+    )
+
+
+def scaled_section(spark, sf_dir: str, factor: int) -> dict:
+    """Time the dedup family (linear-output decision forms — a
+    dup-heavy corpus makes pair listing O(m^2) per clique by
+    definition) and the frontier round at ``factor``x, plus the
+    unchanged q01 control at base sf."""
+    from pixcrawler_spark.operators import dedup
+
+    out: dict = {"factor": factor}
+    out["control_q01_base_sf"] = round(
+        _time_query(spark, "q01_pricing_summary", sf_dir), 3
+    )
+
+    docs = scaled_documents(spark, sf_dir, factor)
+    out["docs_rows"] = docs.count()
+
+    t0 = time.monotonic()
+    dedup.exact_duplicates(docs, "doc_id", "text").write.format(
+        "noop"
+    ).mode("overwrite").save()
+    out["dedup_exact"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text")
+    n_pairs = dedup.lsh_candidate_pairs(sigs, "doc_id").count()
+    out["dedup_minhash_lsh_pairs"] = round(time.monotonic() - t0, 3)
+    out["minhash_candidate_pairs"] = n_pairs
+
+    t0 = time.monotonic()
+    fps = dedup.simhash_fingerprints(docs, "doc_id", "text", dims=64)
+    dedup.simhash_dup_decision(fps, "doc_id", dims=64).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    out["dedup_simhash_decision"] = round(time.monotonic() - t0, 3)
+
+    urls, secs = frontier_throughput(spark, sf_dir, factor=factor)
+    out["frontier_rows"] = int(urls)
+    out["frontier_round"] = round(secs, 3)
+    out["frontier_urls_per_sec"] = round(urls / secs, 1) if secs > 0 else 0.0
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -152,6 +252,14 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    scaled_factor = int(os.environ.get("SPARK_GRAFT_SCALED_FACTOR", "10"))
+    scaled = (
+        scaled_section(spark, sf_dir, scaled_factor)
+        if scaled_factor > 1
+        else None
+    )
+
     print(
         json.dumps(
             {
@@ -162,6 +270,7 @@ def main() -> None:
                 "sf": sf,
                 "frontier_urls_per_sec": round(urls_per_sec, 1),
                 "cpus": cpus,
+                "scaled": scaled,
             }
         )
     )
