@@ -75,7 +75,10 @@ def dedup_skew_probe(spark, sf_dir: str) -> float:
     fps = dedup.simhash_fingerprints(corpus, "doc_id", "text", dims=64)
     out = dedup.simhash_dup_decision(fps, "doc_id", dims=64)
     out.write.format("noop").mode("overwrite").save()
-    return time.monotonic() - t0
+    elapsed = time.monotonic() - t0
+    # direct-operator probes bypass the registry wrapper's clearCache
+    spark.catalog.clearCache()
+    return elapsed
 
 
 def _time_query(spark, name: str, sf_dir: str) -> float:
@@ -214,6 +217,7 @@ def scaled_section(spark, sf_dir: str, factor: int) -> dict:
     n_pairs = dedup.lsh_candidate_pairs(sigs, "doc_id").count()
     out["dedup_minhash_lsh_pairs"] = round(time.monotonic() - t0, 3)
     out["minhash_candidate_pairs"] = n_pairs
+    spark.catalog.clearCache()  # direct-operator probe: release persists
 
     t0 = time.monotonic()
     fps = dedup.simhash_fingerprints(docs, "doc_id", "text", dims=64)
@@ -221,6 +225,7 @@ def scaled_section(spark, sf_dir: str, factor: int) -> dict:
         "noop"
     ).mode("overwrite").save()
     out["dedup_simhash_decision"] = round(time.monotonic() - t0, 3)
+    spark.catalog.clearCache()
 
     urls, secs = frontier_throughput(spark, sf_dir, factor=factor)
     out["frontier_rows"] = int(urls)
