@@ -91,7 +91,10 @@ def nprobe_for(k_centroids: int, recall_boost: int = 1) -> int:
     """Probed-list count: a RECALL knob, derived as ceil(K/8) —
     probing ~12% of the lists — scaled by ``recall_boost`` (raise it
     when the query's true neighbors straddle centroid boundaries;
-    cost grows linearly, recall monotonically)."""
+    cost grows linearly, recall monotonically). Measured frontier
+    (ann_recall_cost_frontier, low-contrast fixture): nprobe=1 already
+    reaches recall 0.9 at 5.8% of brute cost, nprobe=2 reaches 1.0 at
+    ~11% — the default ceil(K/8) buys slack for harder queries."""
     import math
 
     return max(1, math.ceil(k_centroids / 8) * recall_boost)
