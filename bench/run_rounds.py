@@ -146,12 +146,56 @@ def main() -> None:
         "url", F.lit(0).cast("int").alias("completed_round")
     )
 
+    # Mid-crawl state TEMPLATE, built once per (rows, seed) and shared
+    # across invocations and core counts (the bucketed layout is
+    # deterministic: repartition(N_BUCKETS, url) → one file per bucket
+    # regardless of session parallelism). Rebuilding the PSL-stamped
+    # 21M-row frontier from scratch for every pass tripled attempt
+    # latency in the probe-gated scaling protocol (bench/scaling.py),
+    # pushing the measurement ever further from the admitting probe's
+    # host-weather window; a tmpfs directory copy restores identical
+    # state in seconds. The TIMED job (run_round) is unchanged — this
+    # only moves untimed setup out of the attempt loop.
+    template_root = os.path.join(
+        "/dev/shm/pixcrawler_bench",
+        f"state_rows{args.rows}_seed{args.seed}_b{N_BUCKETS}_v1",
+    )
+
+    def ensure_state_template() -> None:
+        if os.path.isdir(template_root):
+            return
+        tmp = template_root + ".building"
+        shutil.rmtree(tmp, ignore_errors=True)
+        tstore = TableStore(spark, tmp)
+        tstore.overwrite("frontier", frontier_df, bucket=(("url",), N_BUCKETS))
+        tstore.overwrite("seen", seen_df, bucket=(("url",), N_BUCKETS))
+        os.rename(tmp, template_root)
+
+    def _copy_state_table(table: str) -> None:
+        src = os.path.join(template_root, table)
+        dst = os.path.join(store_dir, table)
+        shutil.rmtree(dst, ignore_errors=True)
+        shutil.copytree(src, dst)
+        # the manifest records the bucketed generation's ABSOLUTE
+        # location (how a fresh session re-registers the catalog
+        # table); point it at the copy
+        mp = os.path.join(dst, "manifest.json")
+        with open(mp) as f:
+            m = json.load(f)
+        if m.get("bucketed"):
+            m["bucketed"]["location"] = os.path.join(
+                dst, "data", os.path.basename(m["bucketed"]["location"])
+            )
+            with open(mp, "w") as f:
+                json.dump(m, f)
+
     def reset_state() -> None:
         for t in ("frontier", "frontier_added", "frontier_removed",
                   "seen", "results", "metrics", "round_log"):
             store.drop(t)
-        store.overwrite("frontier", frontier_df, bucket=(("url",), N_BUCKETS))
-        store.overwrite("seen", seen_df, bucket=(("url",), N_BUCKETS))
+        ensure_state_template()
+        _copy_state_table("frontier")
+        _copy_state_table("seen")
 
     def prewarm_bloom() -> None:
         # steady-state shape: in a real crawl the shard blobs persist
