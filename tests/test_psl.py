@@ -105,3 +105,75 @@ def test_politeness_budget_grouping(spark):
         for r in df.select(pol.domain_expr("url").alias("dom")).distinct().collect()
     }
     assert got == {"site.co.uk", "alice.blogspot.com", "bob.blogspot.com"}
+
+
+def _random_hosts(n: int = 400, seed: int = 20260818) -> list[str]:
+    """Deterministic messy-host corpus: random labels over suffixes
+    drawn from every rule class (normal 2/3/4-label, wildcard,
+    exception, private, unknown TLD), plus IPs, degenerate and
+    junk-ish hosts. One batched pass keeps the Spark round-trip
+    cheap (the repo's fuzz pattern, tests/test_fuzz.py)."""
+    import random
+
+    rnd = random.Random(seed)
+    suffixes = [
+        "com", "org", "example", "co.uk", "ac.uk", "com.au", "ac.jp",
+        "kawasaki.jp", "city.kawasaki.jp", "ck", "www.ck", "bar.ck",
+        "blogspot.com", "github.io", "s3.amazonaws.com", "zz-unknown",
+    ]
+    labels = ["a", "b0", "x-y", "deep", "www", "shop", "9start", "q"]
+    hosts = []
+    for _ in range(n):
+        kind = rnd.random()
+        if kind < 0.08:
+            hosts.append(
+                ".".join(str(rnd.randrange(256)) for _ in range(4))
+            )
+        elif kind < 0.12:
+            hosts.append(rnd.choice(suffixes))  # host IS a suffix
+        else:
+            depth = rnd.randrange(0, 4)
+            pre = [rnd.choice(labels) for _ in range(depth)]
+            hosts.append(".".join(pre + [rnd.choice(suffixes)]))
+    hosts += ["", ".", "..", "a..b.com", "single", "xn--p1ai"]
+    return hosts
+
+
+def test_psl_differential_random_hosts(spark):
+    """Differential check on 400+ random messy hosts: the Spark
+    expression and the DuckDB oracle (independent implementations
+    generated from one snapshot) must agree exactly; and two
+    structural properties of the publicsuffix algorithm must hold —
+    the registrable domain is a label-suffix of the host, and the
+    extraction is idempotent (rd(rd(h)) == rd(h))."""
+    import duckdb
+
+    from pixcrawler_spark.operators.psl import registrable_domain_of_host
+
+    hosts = _random_hosts()
+    df = spark.createDataFrame([(h,) for h in hosts], "h string")
+    out = df.select(
+        "h",
+        registrable_domain_of_host(F.col("h")).alias("rd"),
+    ).select(
+        "h", "rd",
+        registrable_domain_of_host(F.col("rd")).alias("rd2"),
+    )
+    rows = {r["h"]: (r["rd"], r["rd2"]) for r in out.collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE hosts (h VARCHAR)")
+    con.executemany("INSERT INTO hosts VALUES (?)", [(h,) for h in hosts])
+    oracle = {
+        h: d
+        for h, d in con.execute(
+            f"SELECT h, {psl_oracle_sql('h')} AS d FROM hosts"
+        ).fetchall()
+    }
+
+    for h in hosts:
+        rd, rd2 = rows[h]
+        assert rd == oracle[h], f"{h!r}: spark={rd!r} duckdb={oracle[h]!r}"
+        assert rd2 == rd, f"not idempotent on {h!r}: {rd!r} -> {rd2!r}"
+        # suffix property: rd is the host or a trailing-label suffix
+        assert h == rd or h.endswith("." + rd), f"{rd!r} not a suffix of {h!r}"
