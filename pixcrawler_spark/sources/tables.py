@@ -525,6 +525,89 @@ class TableStore:
     def snapshots(self, table: str) -> list[str]:
         return [s["snap"] for s in self._read_manifest(table)["snapshots"]]
 
+    def expire_snapshots(
+        self, table: str, keep_last: int, fold_tag: str = "_expired_fold"
+    ) -> int:
+        """Iceberg ``expire_snapshots`` + ``rewrite_data_files`` analog
+        for append-mostly round tables (results, round_log, metrics).
+
+        A crawl commits one snapshot per table per round; at 10^5
+        rounds the manifest and the per-read file fan-out grow without
+        bound — the metadata failure mode of any long-running ingest.
+        This FOLDS every snapshot older than the newest ``keep_last``
+        into one consolidated snapshot (row content preserved exactly,
+        written once, coalesced), then flips the manifest atomically:
+        readers see identical data before and after; only time travel
+        (``read_at``/``rollback_to``) into the folded range is given
+        up, exactly Iceberg's expiration semantics. The newest
+        ``keep_last`` snapshots keep their snap ids and tags, so the
+        crash-recovery horizon (``drop_tagged`` of the current round)
+        must be <= ``keep_last``. Returns the number of snapshots
+        folded (0 = nothing to do). Bucketed tables are
+        single-generation already and are rejected.
+
+        Reference analog: none — PixCrawler keeps per-keyword progress
+        JSON forever (progress.json grows with the crawl); this is the
+        from-scratch maintenance story the 10^10-URL north rule needs.
+        """
+        if keep_last < 0:
+            raise ValueError("keep_last must be >= 0")
+        manifest = self._read_manifest(table)
+        if manifest["bucketed"] is not None:
+            raise ValueError(
+                f"expire_snapshots not supported for bucketed table {table!r}"
+            )
+        old = manifest["snapshots"][: len(manifest["snapshots"]) - keep_last]
+        if len(old) < 2:
+            return 0  # nothing worth folding
+        paths = [
+            os.path.join(self._tdir(table), "data", s["snap"]) for s in old
+        ]
+        fold_snap = self._new_snap()
+        fold_dir = os.path.join(self._tdir(table), "data", fold_snap)
+        # ~128MB target files (rewrite_data_files' default), sized from
+        # the inputs' on-disk bytes — a driver-side stat, no Spark job
+        nbytes = sum(
+            os.path.getsize(os.path.join(r, f))
+            for p in paths
+            for r, _, fs in os.walk(p)
+            for f in fs
+        )
+        nfiles = max(1, nbytes // (128 << 20))
+        df = self.spark.read.parquet(*paths)
+        df.coalesce(nfiles).write.mode("overwrite").parquet(fold_dir)
+        manifest["snapshots"] = [
+            {"snap": fold_snap, "tag": fold_tag}
+        ] + manifest["snapshots"][len(old):]
+        self._write_manifest(table, manifest)  # atomic flip
+        for p in paths:
+            shutil.rmtree(p, ignore_errors=True)
+        return len(old)
+
+    def remove_orphans(self, table: str) -> int:
+        """Iceberg ``remove_orphan_files`` analog: delete data dirs not
+        referenced by the committed manifest — the leftovers of writes
+        that crashed between ``stage_overwrite`` and ``commit_staged``
+        (the documented leak of the staged-commit protocol). Must not
+        run concurrently with an in-flight staged write on the same
+        table (single-driver rule, same as Iceberg's caveat that the
+        retention window must exceed any in-flight commit). Returns the
+        number of directories removed."""
+        manifest = self._read_manifest(table)
+        data_root = os.path.join(self._tdir(table), "data")
+        if not os.path.isdir(data_root):
+            return 0
+        if manifest["bucketed"] is not None:
+            live = {os.path.basename(manifest["bucketed"]["location"])}
+        else:
+            live = {s["snap"] for s in manifest["snapshots"]}
+        removed = 0
+        for d in os.listdir(data_root):
+            if d not in live:
+                shutil.rmtree(os.path.join(data_root, d), ignore_errors=True)
+                removed += 1
+        return removed
+
     def drop_tagged(self, table: str, tags: set[str]) -> int:
         """Remove snapshots whose tag is in ``tags`` (crash-recovery:
         drop a half-committed round before re-running it). Returns the
