@@ -59,3 +59,14 @@ K_CENTROIDS = similarity.centroids_for(EXPECTED_N)  # = 23 at n=512
 NPROBE = similarity.nprobe_for(K_CENTROIDS)  # = 3 (recall knob)
 
 RECALL_K = 10
+
+# Product-quantization parameters (operators/pq.py): the vector's 64
+# dims split into PQ_M contiguous subspaces of PQ_SUB_DIM dims; each
+# subspace quantized against PQ_KS codewords (production: 256 = byte
+# codes; here derived from the corpus like K_CENTROIDS so every
+# codeword quantizes a meaningful share of the 512-row fixture).
+PQ_M = 8
+PQ_SUB_DIM = EMB_DIM // PQ_M  # = 8
+from pixcrawler_spark.operators import pq as _pq
+
+PQ_KS = _pq.codewords_for(EXPECTED_N)  # = 16 at n=512
