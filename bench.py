@@ -44,6 +44,8 @@ HEADLINE = [
     # round 4
     "crawl_registrable_domain",
     "dedup_minhash_incremental",
+    "ann_pq_adc_topk",
+    "ann_ivfpq_topk",
 ]
 
 
