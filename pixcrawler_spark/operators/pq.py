@@ -161,6 +161,7 @@ def pq_adc_topk(
     round_to: int = 6,
     candidates: DataFrame | None = None,
     rerank: int = 0,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """Flat-PQ asymmetric-distance top-k: ``(id, approx_d2)``
     ascending (smaller = nearer), id tiebreak. ``candidates`` (an
@@ -178,12 +179,26 @@ def pq_adc_topk(
     adversarial case for a 16-codeword codebook): pure ADC recall@10
     = 0.3, rerank=100 (20%% shortlist) = 0.8 — the knob trades one
     bounded exact-read batch for recall, while the 32× compressed
-    scan still prices the bulk of the corpus."""
+    scan still prices the bulk of the corpus.
+
+    ``codes`` (an ``(id, codes)`` frame from :func:`pq_encode`, e.g.
+    read back from a TableStore like the incremental-dedup corpus
+    signatures) skips the encode entirely: the deployment shape is
+    encode ONCE when a round's delta arrives, append the codes, and
+    answer every later query from the stored 8-byte codes — the float
+    vectors are then touched only by the ``rerank`` stage."""
     cb_row = pq_codebook_row(df, id_col, vec_col, n_codewords, n_sub, sub_dim)
-    scanned = df if candidates is None else df.join(
-        candidates.select(id_col), id_col
-    )
-    encoded = pq_encode(scanned, cb_row, id_col, vec_col, n_sub, sub_dim, round_to)
+    if codes is None:
+        scanned = df if candidates is None else df.join(
+            candidates.select(id_col), id_col
+        )
+        encoded = pq_encode(
+            scanned, cb_row, id_col, vec_col, n_sub, sub_dim, round_to
+        )
+    else:
+        encoded = codes.select(id_col, "codes")
+        if candidates is not None:
+            encoded = encoded.join(candidates.select(id_col), id_col)
 
     # distance table from the ONE query row: dt[m][c] (rounded like the
     # encode distances so the oracle's join on rounded values matches)

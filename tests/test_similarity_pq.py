@@ -152,3 +152,36 @@ def test_ivfpq_results_subset_of_probed_lists(spark, sf_dir):
     for r in got.collect():
         if r["vec_id"] in flat:
             assert r["approx_d2"] == flat[r["vec_id"]]
+
+
+def test_pq_stored_codes_round_loop(spark, sf_dir, tmp_path):
+    """Deployment shape: encode each round's delta ONCE, append the
+    8-byte codes to a TableStore, answer queries from the stored codes
+    — identical results to encode-at-query-time, with the encode cost
+    paid per delta, not per query (mirrors the incremental-minhash
+    signature store)."""
+    from pyspark.sql import functions as F
+
+    from pixcrawler_spark.sources.tables import TableStore
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cb = pq.pq_codebook_row(e, "vec_id", "embedding", 16, 8, 8)
+    store = TableStore(spark, str(tmp_path / "codes"))
+    for rnd in range(3):
+        delta = e.where(F.col("vec_id") % 3 == rnd)
+        store.append("codes", pq.pq_encode(
+            delta, cb, "vec_id", "embedding", 8, 8))
+    stored = store.read("codes")
+    assert stored.count() == e.count()
+
+    from_store = pq.pq_adc_topk(
+        e, "vec_id", "embedding", 0, k=10,
+        n_codewords=16, n_sub=8, sub_dim=8, codes=stored,
+    ).collect()
+    from_scratch = pq.pq_adc_topk(
+        e, "vec_id", "embedding", 0, k=10,
+        n_codewords=16, n_sub=8, sub_dim=8,
+    ).collect()
+    assert [(r["vec_id"], r["approx_d2"]) for r in from_store] == [
+        (r["vec_id"], r["approx_d2"]) for r in from_scratch
+    ]
