@@ -185,3 +185,13 @@ def test_pq_stored_codes_round_loop(spark, sf_dir, tmp_path):
     assert [(r["vec_id"], r["approx_d2"]) for r in from_store] == [
         (r["vec_id"], r["approx_d2"]) for r in from_scratch
     ]
+
+
+def test_codewords_for_derivation():
+    """K tracks √n as a power of two, capped at the production 256
+    (byte codes): the first-K codebook stays meaningful at every
+    corpus scale without resizing the code column."""
+    assert pq.codewords_for(4) == 4
+    assert pq.codewords_for(512) == 16
+    assert pq.codewords_for(262144) == 256
+    assert pq.codewords_for(10**10) == 256  # capped: codes stay 1 byte
