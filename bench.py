@@ -242,10 +242,24 @@ def main() -> None:
     spark = get_spark(app_name="pixcrawler_bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # untimed warmup: JVM/codegen init + Python worker spawn, so the
-    # first headline query isn't charged session startup
+    # untimed warmup: JVM/codegen init, so the first headline query
+    # isn't charged session startup
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
+    # ... and the Python-worker fleet: the range-sum warmup above never
+    # spawns Python workers, so without this the FIRST Arrow query in
+    # HEADLINE (dedup_perceptual_ahash) was charged the fork + pandas/
+    # pyarrow import of all `cpus` interpreters (~3-6 s at local[32],
+    # host-weather dependent — measured 10.3 s cold vs 4.9 s warmed for
+    # the same query). Real clusters reuse Python workers
+    # (spark.python.worker.reuse defaults true), so interpreter spawn
+    # is session cost, not query cost; the identity mapInPandas pass
+    # forces every worker through fork + Arrow-serializer imports
+    # untimed. Decode work is NOT prewarmed — each query still pays
+    # its own real per-payload cost.
+    spark.range(cpus * 4, numPartitions=cpus).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
