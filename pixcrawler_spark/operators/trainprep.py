@@ -1,0 +1,368 @@
+"""Training-corpus preparation operators: paragraph-level dedup, PII
+redaction, benchmark decontamination, duplicate-graph connected
+components, and semantic (embedding-cluster) dedup.
+
+These are the corpus-hygiene passes a web-scale LLM-data pipeline runs
+between crawling and training (CCNet's paragraph dedup, the GPT-3/PaLM
+n-gram decontamination sweep, SemDeDup's cluster-then-prune). The
+reference repo stops at image-level integrity checks
+(validator/integrity.py:150-170 exact-hash dedup is the closest
+analog); everything here generalizes that keep-first contract to text
+corpora, expressed as pure Catalyst plans:
+
+- no operator is all-pairs: paragraph dedup shuffles on a uniform
+  content hash, decontamination broadcast-joins a small benchmark
+  n-gram set, connected components iterates bounded-key joins over the
+  (sparse) duplicate-pair edge list, and semantic dedup confines exact
+  cosine work to within-cluster candidates exactly like the IVF ANN
+  family;
+- everything is JVM expressions — split/slice/md5/regexp — no Python
+  in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_REGEX = r"\s+"
+
+# --------------------------------------------------------------------------
+# Paragraph-level exact dedup (CCNet-style)
+# --------------------------------------------------------------------------
+# CCNet (Wenzek et al. 2020) dedups web text at paragraph granularity:
+# hash every paragraph, keep the first occurrence corpus-wide, and drop
+# repeats (boilerplate headers/footers dominate web dup mass). The
+# fixture's documents carry no newlines, so the paragraph unit is a
+# fixed window of PARA_TOKENS tokens — the mechanism (hash → global
+# keep-first → reassemble) is identical for any paragraph splitter.
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    para_tokens: int = 10,
+) -> DataFrame:
+    """Corpus-wide keep-first paragraph dedup.
+
+    Returns one row per input doc: (id, n_paras, n_dup_paras,
+    dup_para_fraction, kept_text) where kept_text is the doc with its
+    corpus-duplicate paragraphs removed (first occurrence wins; ties
+    broken by (id, paragraph index) so the result is deterministic).
+
+    Scale shape: the only cross-doc shuffle keys on md5(paragraph) —
+    uniform by construction, so the keep-first window never sees a hot
+    partition; the per-doc reassembly shuffles on the doc id. Nothing
+    is quadratic and no driver state exists, so the pass scales to a
+    100 TB corpus as two hash exchanges.
+    """
+    toks = F.split(F.trim(F.col(text_col)), TOKEN_SPLIT_REGEX)
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        toks.alias("_toks"),
+        F.floor(F.size(toks) / para_tokens).cast("long").alias("_np"),
+    )
+    paras = (
+        base.where(F.col("_np") >= 1)
+        .select(
+            "_id",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.col("_np") - 1)
+            ).alias("pidx"),
+            "_toks",
+        )
+        .select(
+            "_id",
+            "pidx",
+            F.array_join(
+                F.slice(
+                    F.col("_toks"),
+                    (F.col("pidx") * para_tokens + 1).cast("int"),
+                    para_tokens,
+                ),
+                " ",
+            ).alias("para"),
+        )
+    )
+    w = Window.partitionBy(F.md5(F.col("para"))).orderBy("_id", "pidx")
+    marked = paras.withColumn("_keep", F.row_number().over(w) == 1)
+    agg = marked.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum((~F.col("_keep")).cast("long")).alias("n_dup_paras"),
+        F.round(
+            F.sum((~F.col("_keep")).cast("long")) / F.count(F.lit(1)), 4
+        ).alias("dup_para_fraction"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_keep"), F.struct("pidx", "para"))
+                    )
+                ),
+                lambda s: s.para,
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+    return (
+        df.select(F.col(id_col).alias("_id"))
+        .join(agg, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("n_paras", F.lit(0)).alias("n_paras"),
+            F.coalesce("n_dup_paras", F.lit(0)).alias("n_dup_paras"),
+            F.coalesce("dup_para_fraction", F.lit(0.0)).alias(
+                "dup_para_fraction"
+            ),
+            F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# PII redaction
+# --------------------------------------------------------------------------
+# The standard webtext scrub pass (emails / phone numbers / IPv4): count
+# and replace with typed placeholders, as three JVM regexp passes. The
+# patterns are deliberately conservative ANSI-regex (no lookaround) so
+# they stay inside codegen'd StringRegexExpression.
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\+\d{1,2} \d{3}-\d{4}"
+
+
+def pii_redact(df: DataFrame, text_col: str) -> DataFrame:
+    """Adds n_emails / n_phones / n_ips counts and a ``redacted`` column
+    with every match replaced by <EMAIL> / <PHONE> / <IP>.
+
+    Order matters: emails first (their local/domain parts may contain
+    dots that the IP pattern could otherwise bite into), then IPs, then
+    phones. Pure per-row expressions — map-side only, no shuffle.
+    """
+    t = F.col(text_col)
+    n = lambda pat: F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0)))  # noqa: E731
+    red = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    red = F.regexp_replace(red, IPV4_RE, "<IP>")
+    red = F.regexp_replace(red, PHONE_RE, "<PHONE>")
+    return df.select(
+        "*",
+        n(EMAIL_RE).alias("n_emails"),
+        n(PHONE_RE).alias("n_phones"),
+        n(IPV4_RE).alias("n_ips"),
+        red.alias("redacted"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap)
+# --------------------------------------------------------------------------
+# The GPT-3 / PaLM decontamination sweep: a training doc is contaminated
+# if it shares any N-token gram with the eval-benchmark corpus. The
+# benchmark gram set is tiny relative to the corpus, so the membership
+# test is a broadcast semi-join — the 100 TB scan stays map-side.
+
+
+def token_ngrams(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, gidx, gram): every contiguous ``n``-token window, joined
+    with single spaces. Docs shorter than ``n`` tokens emit nothing."""
+    toks = F.split(F.trim(F.col(text_col)), TOKEN_SPLIT_REGEX)
+    base = df.select(
+        F.col(id_col).alias("_id"), toks.alias("_toks"), F.size(toks).alias("_nt")
+    )
+    return (
+        base.where(F.col("_nt") >= n)
+        .select(
+            "_id",
+            F.explode(
+                F.sequence(F.lit(0), (F.col("_nt") - n).cast("int"))
+            ).alias("gidx"),
+            "_toks",
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("gidx").cast("long").alias("gidx"),
+            F.array_join(
+                F.slice(F.col("_toks"), F.col("gidx") + 1, n), " "
+            ).alias("gram"),
+        )
+    )
+
+
+def ngram_decontaminate(
+    docs: DataFrame,
+    bench_grams: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+) -> DataFrame:
+    """Per-doc contamination report against a benchmark gram set.
+
+    ``bench_grams`` must have a single ``gram`` column (distinct not
+    required). Returns (id, total_grams, hit_grams, contaminated):
+    total = gram positions in the doc, hit = DISTINCT doc grams present
+    in the benchmark set, contaminated = hit >= 1.
+
+    Scale shape: the benchmark set (eval suites: ~10^6 grams) is
+    broadcast; doc grams never shuffle for the membership test — the
+    only exchange is the per-doc count aggregation.
+    """
+    grams = token_ngrams(docs, id_col, text_col, n).persist()
+    bench = F.broadcast(bench_grams.select("gram").distinct())
+    tot = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("total_grams"))
+    hits = (
+        grams.select(id_col, "gram")
+        .distinct()
+        .join(bench, "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("hit_grams"))
+    )
+    return (
+        docs.select(id_col)
+        .join(tot, id_col, "left")
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("total_grams", F.lit(0)).alias("total_grams"),
+            F.coalesce("hit_grams", F.lit(0)).alias("hit_grams"),
+            (F.coalesce("hit_grams", F.lit(0)) >= 1).alias("contaminated"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Duplicate-graph connected components (bounded label propagation)
+# --------------------------------------------------------------------------
+# Pair-emitting dedup (MinHash/SimHash/aHash) needs a final grouping
+# pass: duplicate PAIRS → duplicate CLUSTERS → one kept representative
+# per cluster. At 10^10 docs that is connected components over a sparse
+# edge list — here as ``iters`` rounds of min-label propagation (the
+# Hash-to-Min family), each round one src-keyed join + one dst-keyed
+# aggregate over edges. ``iters`` bounds the component DIAMETER the
+# pass collapses; near-dup clusters are star/clique shaped (diameter
+# ≤ ~2-3), so a small fixed unroll is exact for the dedup use case and
+# keeps the plan static (no driver-side convergence loop, mirroring
+# queries/urlgraph.py's unrolled PageRank).
+
+
+def connected_components(
+    edges: DataFrame, src_col: str, dst_col: str, iters: int = 3
+) -> DataFrame:
+    """Min-label propagation over undirected ``edges``.
+
+    Returns (node, component) for every node appearing in the edge
+    list, where component = the minimum node id reachable within
+    ``iters`` hops (== the true component id once iters ≥ diameter).
+    """
+    sym = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).union(
+        edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+    ).persist()
+    labels = sym.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("comp")
+    )
+    for _ in range(iters):
+        nbr = (
+            sym.join(labels, sym.src == labels.node)
+            .groupBy("dst")
+            .agg(F.min("comp").alias("nbr"))
+        )
+        labels = (
+            labels.join(nbr, labels.node == nbr.dst, "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("nbr", "comp")).alias("comp"),
+            )
+        )
+    return labels
+
+
+# --------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style: cluster, then prune within clusters)
+# --------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023): k-means the embedding space, then drop
+# near-identical vectors WITHIN each cluster, keeping — per duplicate
+# relation — the member least similar to its centroid (the most
+# "informative" exemplar). The clustering confines exact cosine work to
+# within-cluster candidates: with K ≈ √n centroids, the candidate mass
+# is ~n^1.5/K per cluster instead of n² global — identical scale shape
+# to the IVF inverted lists (operators/similarity.py), whose
+# deterministic first-K-vectors codebook this reuses so the oracle can
+# state the same clustering.
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k_centroids: int,
+    threshold: float,
+    round_to: int = 6,
+) -> DataFrame:
+    """(id, cluster, cos_centroid, kept) for every vector.
+
+    A vector is DROPPED iff some same-cluster vector u has
+    cosine(u, v) >= threshold and u precedes v in (cos_centroid asc,
+    id asc) order — i.e. each semantic-duplicate relation keeps its
+    member farthest from the centroid, deterministic under ties.
+    """
+    from pixcrawler_spark.operators.similarity import cosine_expr
+
+    cents = df.where(F.col(id_col) < k_centroids).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_cos_c"), F.asc("cent_id"))
+    assigned = (
+        df.select(id_col, vec_col)
+        .crossJoin(F.broadcast(cents))
+        .withColumn(
+            "_cos_c",
+            F.round(cosine_expr(F.col(vec_col), F.col("cvec")), round_to),
+        )
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_vec"),
+            F.col("cent_id").alias("cluster"),
+            F.col("_cos_c").alias("cos_centroid"),
+        )
+        .persist()
+    )
+    a = assigned.select(
+        F.col("_id").alias("_ida"),
+        F.col("_vec").alias("_veca"),
+        "cluster",
+        F.col("cos_centroid").alias("_cca"),
+    )
+    b = assigned.select(
+        F.col("_id").alias("_idb"),
+        F.col("_vec").alias("_vecb"),
+        "cluster",
+        F.col("cos_centroid").alias("_ccb"),
+    )
+    pair_cos = F.round(cosine_expr(F.col("_veca"), F.col("_vecb")), round_to)
+    dropped = (
+        a.join(b, "cluster")
+        .where(F.col("_ida") != F.col("_idb"))
+        .where(pair_cos >= threshold)
+        .where(
+            (F.col("_cca") < F.col("_ccb"))
+            | ((F.col("_cca") == F.col("_ccb")) & (F.col("_ida") < F.col("_idb")))
+        )
+        .select(F.col("_idb").alias("_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped.withColumn("_dropped", F.lit(True)), "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "cluster",
+            "cos_centroid",
+            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
+        )
+    )

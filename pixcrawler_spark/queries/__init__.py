@@ -24,6 +24,12 @@ from pixcrawler_spark.queries.registry import REGISTRY, Query, register
 # parameterizes over the ENTIRE registry and runs every query against
 # its DuckDB oracle on every pytest run, driver cap or not.
 from pixcrawler_spark.queries import roundfour as _roundfour  # noqa: F401
+# trainprep's 5 corpus-hygiene queries register inside the r04 window;
+# the 5 entries they displace past the 50-cap (q29_quality_score +
+# crawl_fetch_decision/politeness_admission/priority_order/serp_seeding)
+# all carry green CORRECTNESS_r03 rows, so union(r03, r04) still covers
+# the whole registry.
+from pixcrawler_spark.queries import trainprep as _trainprep  # noqa: F401
 from pixcrawler_spark.queries import analytics as _analytics  # noqa: F401
 from pixcrawler_spark.queries import advanced as _advanced  # noqa: F401
 from pixcrawler_spark.queries import crawlops as _crawlops  # noqa: F401
