@@ -46,6 +46,11 @@ HEADLINE = [
     "dedup_minhash_incremental",
     "ann_pq_adc_topk",
     "ann_ivfpq_topk",
+    # round 4 corpus-prep family
+    "text_paragraph_dedup",
+    "text_decontaminate",
+    "dedup_connected_components",
+    "dedup_semantic_clusters",
 ]
 
 

@@ -277,6 +277,11 @@ def connected_components(
                 "node",
                 F.least(F.col("comp"), F.coalesce("nbr", "comp")).alias("comp"),
             )
+            # each round references the previous labels TWICE (as the
+            # propagation input and as the join probe); without a
+            # persist per round the lineage re-evaluates 2^iters times
+            # — measured 32.8 s -> ~2 s at sf0.1 for 3 rounds
+            .persist()
         )
     return labels
 

@@ -307,3 +307,160 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trainprep.semantic_dedup(
         e, "vec_id", "embedding", K_CENTROIDS, SEM_THRESHOLD
     )
+
+
+# ---------------------------------------------------------------------------
+# text_corpus_prep_decision — the composed keep/drop flagship
+# ---------------------------------------------------------------------------
+# The whole corpus-prep pass as ONE plan: every doc gets a keep/drop
+# decision with a reason, in drop-precedence order near_dup (MinHash
+# cluster non-representative) > contaminated (benchmark gram overlap)
+# > boilerplate (duplicate-paragraph mass) > too_short. This is the
+# query a 100 TB pipeline actually ships — the building blocks above
+# are its independently-verified stages, and Catalyst fuses them into
+# doc_id-keyed joins of per-doc aggregates.
+
+MIN_TOKENS = 30
+BOILER_FRAC = 0.5
+
+
+@register(
+    "text_corpus_prep_decision",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sigs AS (
+      SELECT doc_id,
+             {_SIG_COLS}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+{_BAND_SELECTS}
+    ),
+    edges AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+      WHERE a.doc_id < b.doc_id
+    ),
+    sym AS (SELECT id_a AS src, id_b AS dst FROM edges
+            UNION ALL SELECT id_b AS src, id_a AS dst FROM edges),
+    l0 AS (SELECT DISTINCT src AS node, src AS comp FROM sym),{_cc_steps(CC_ITERS)},
+    t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    paras AS (
+      SELECT doc_id, pidx,
+             array_to_string(list_slice(toks, pidx*{PARA_TOKENS}+1,
+                                        pidx*{PARA_TOKENS}+{PARA_TOKENS}), ' ') AS para
+      FROM (SELECT doc_id, toks,
+                   unnest(range(CAST(floor(len(toks)/{PARA_TOKENS}) AS BIGINT))) AS pidx
+            FROM t)
+    ),
+    marked AS (
+      SELECT doc_id,
+             (row_number() OVER (PARTITION BY md5(para)
+                                 ORDER BY doc_id, pidx) = 1) AS keep
+      FROM paras
+    ),
+    pfrac AS (
+      SELECT doc_id,
+             round(count(*) FILTER (WHERE NOT keep) * 1.0 / count(*), 4) AS dupf
+      FROM marked GROUP BY doc_id
+    ),
+    grams AS (
+      SELECT doc_id, gidx,
+             array_to_string(list_slice(toks, gidx+1, gidx+{DECONTAM_N}), ' ') AS gram
+      FROM (SELECT doc_id, toks, unnest(range(len(toks)-{DECONTAM_N - 1})) AS gidx
+            FROM t WHERE len(toks) >= {DECONTAM_N})
+    ),
+    bench AS (SELECT DISTINCT gram FROM grams
+              WHERE doc_id % {BENCH_MOD} = {BENCH_REM}),
+    hits AS (SELECT DISTINCT g.doc_id FROM grams g
+             JOIN bench b ON g.gram = b.gram),
+    feat AS (
+      SELECT d.doc_id AS doc_id,
+             CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+             coalesce(p.dupf, 0.0) AS dup_para_fraction,
+             (h.doc_id IS NOT NULL) AS contaminated,
+             (c.comp IS NOT NULL AND c.comp != d.doc_id) AS near_dup
+      FROM documents d
+      LEFT JOIN pfrac p ON d.doc_id = p.doc_id
+      LEFT JOIN hits h ON d.doc_id = h.doc_id
+      LEFT JOIN (SELECT node, comp FROM l{CC_ITERS}) c ON d.doc_id = c.node
+    )
+    SELECT doc_id, n_tokens, dup_para_fraction, contaminated, near_dup,
+           CASE WHEN near_dup THEN 'near_dup'
+                WHEN contaminated THEN 'contaminated'
+                WHEN dup_para_fraction > {BOILER_FRAC} THEN 'boilerplate'
+                WHEN n_tokens < {MIN_TOKENS} THEN 'too_short'
+                ELSE 'keep' END AS reason,
+           (NOT near_dup AND NOT contaminated
+            AND dup_para_fraction <= {BOILER_FRAC}
+            AND n_tokens >= {MIN_TOKENS}) AS keep
+    FROM feat
+    """,
+    doc="The composed corpus-prep flagship: per-doc keep/drop with a "
+    "reason, precedence near_dup (MinHash cluster non-representative) "
+    "> contaminated (benchmark gram hit) > boilerplate "
+    f"(dup-paragraph fraction > {BOILER_FRAC}) > too_short "
+    f"(< {MIN_TOKENS} tokens). One plan of doc_id-keyed joins over "
+    "per-doc aggregates — every stage independently driver-verified "
+    "by the four queries above. near_dup / contaminated / too_short / "
+    "keep all fire on the fixture; boilerplate is shadowed there "
+    "(every dup-paragraph doc is also an LSH near-dup, which "
+    "outranks it) but the stage itself is pinned by "
+    "text_paragraph_dedup and tests/test_trainprep.py.",
+)
+def text_corpus_prep_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(
+        d, "doc_id", "text", n=SHINGLE_N, num_hashes=NUM_HASHES
+    )
+    edges = dedup.lsh_candidate_pairs(
+        sigs, "doc_id", num_hashes=NUM_HASHES, band_size=BAND_SIZE
+    )
+    comp = trainprep.connected_components(edges, "id_a", "id_b", CC_ITERS)
+    pfrac = trainprep.paragraph_dedup(d, "doc_id", "text", PARA_TOKENS).select(
+        "doc_id", "dup_para_fraction"
+    )
+    bench = trainprep.token_ngrams(
+        d.where(F.col("doc_id") % BENCH_MOD == BENCH_REM),
+        "doc_id", "text", DECONTAM_N,
+    ).select("gram")
+    dec = trainprep.ngram_decontaminate(
+        d, bench, "doc_id", "text", DECONTAM_N
+    ).select("doc_id", "contaminated")
+    toks = F.split(F.trim(F.col("text")), trainprep.TOKEN_SPLIT_REGEX)
+    feat = (
+        d.select("doc_id", F.size(toks).cast("long").alias("n_tokens"))
+        .join(pfrac, "doc_id", "left")
+        .join(dec, "doc_id", "left")
+        .join(
+            comp.select(F.col("node").alias("doc_id"), "comp"), "doc_id", "left"
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("dup_para_fraction", F.lit(0.0)).alias(
+                "dup_para_fraction"
+            ),
+            F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
+            (F.col("comp").isNotNull() & (F.col("comp") != F.col("doc_id"))).alias(
+                "near_dup"
+            ),
+        )
+    )
+    reason = (
+        F.when(F.col("near_dup"), "near_dup")
+        .when(F.col("contaminated"), "contaminated")
+        .when(F.col("dup_para_fraction") > BOILER_FRAC, "boilerplate")
+        .when(F.col("n_tokens") < MIN_TOKENS, "too_short")
+        .otherwise("keep")
+    )
+    return feat.select(
+        "doc_id", "n_tokens", "dup_para_fraction", "contaminated", "near_dup",
+        reason.alias("reason"),
+        (
+            ~F.col("near_dup") & ~F.col("contaminated")
+            & (F.col("dup_para_fraction") <= BOILER_FRAC)
+            & (F.col("n_tokens") >= MIN_TOKENS)
+        ).alias("keep"),
+    )
