@@ -57,34 +57,7 @@ def paragraph_dedup(
     is quadratic and no driver state exists, so the pass scales to a
     100 TB corpus as two hash exchanges.
     """
-    toks = F.split(F.trim(F.col(text_col)), TOKEN_SPLIT_REGEX)
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        toks.alias("_toks"),
-        F.floor(F.size(toks) / para_tokens).cast("long").alias("_np"),
-    )
-    paras = (
-        base.where(F.col("_np") >= 1)
-        .select(
-            "_id",
-            F.explode(
-                F.sequence(F.lit(0).cast("long"), F.col("_np") - 1)
-            ).alias("pidx"),
-            "_toks",
-        )
-        .select(
-            "_id",
-            "pidx",
-            F.array_join(
-                F.slice(
-                    F.col("_toks"),
-                    (F.col("pidx") * para_tokens + 1).cast("int"),
-                    para_tokens,
-                ),
-                " ",
-            ).alias("para"),
-        )
-    )
+    paras = _paragraphs(df, id_col, text_col, para_tokens)
     w = Window.partitionBy(F.md5(F.col("para"))).orderBy("_id", "pidx")
     marked = paras.withColumn("_keep", F.row_number().over(w) == 1)
     agg = marked.groupBy("_id").agg(
@@ -118,6 +91,134 @@ def paragraph_dedup(
             F.coalesce("kept_text", F.lit("")).alias("kept_text"),
         )
     )
+
+
+def _paragraphs(
+    df: DataFrame, id_col: str, text_col: str, para_tokens: int
+) -> DataFrame:
+    """(_id, pidx, para): complete ``para_tokens``-token windows."""
+    toks = F.split(F.trim(F.col(text_col)), TOKEN_SPLIT_REGEX)
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        toks.alias("_toks"),
+        F.floor(F.size(toks) / para_tokens).cast("long").alias("_np"),
+    )
+    return (
+        base.where(F.col("_np") >= 1)
+        .select(
+            "_id",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.col("_np") - 1)
+            ).alias("pidx"),
+            "_toks",
+        )
+        .select(
+            "_id",
+            "pidx",
+            F.array_join(
+                F.slice(
+                    F.col("_toks"),
+                    (F.col("pidx") * para_tokens + 1).cast("int"),
+                    para_tokens,
+                ),
+                " ",
+            ).alias("para"),
+        )
+    )
+
+
+def paragraph_hashes(
+    df: DataFrame, id_col: str, text_col: str, para_tokens: int = 10
+) -> DataFrame:
+    """(id, pidx, phash) for every complete paragraph window — the
+    store-able form of a round's paragraph fingerprints."""
+    return _paragraphs(df, id_col, text_col, para_tokens).select(
+        F.col("_id").alias(id_col), "pidx", F.md5("para").alias("phash")
+    )
+
+
+def incremental_paragraph_dedup(
+    delta: DataFrame,
+    corpus_hashes: DataFrame,
+    id_col: str,
+    text_col: str,
+    para_tokens: int = 10,
+):
+    """Delta-vs-corpus paragraph dedup — the round-loop form of
+    :func:`paragraph_dedup`.
+
+    ``corpus_hashes`` holds ONE ``phash`` column: the distinct
+    paragraph hashes of every earlier round (each appended the round
+    its paragraph first appeared — the store is never rebuilt). A delta
+    paragraph is a duplicate iff its hash is already in the store OR an
+    earlier (id, pidx) occurrence exists within the delta itself.
+
+    Caller contract (the crawl reality): delta ids are strictly greater
+    than all corpus ids — then the per-round reports union to exactly
+    the batch :func:`paragraph_dedup` output restricted to those docs
+    (tests/test_trainprep.py proves this through a TableStore loop).
+
+    Returns ``(report, new_hashes)``: the per-doc report (same schema
+    as paragraph_dedup) and the distinct first-occurrence hashes to
+    append to the store.
+
+    Scale shape: per-round cost is O(delta paragraphs) — the store side
+    of the membership join never rescans document text, and with the
+    store bucketed on phash only the delta shuffles (the same
+    static-side pattern as the crawl seen-set anti-join).
+    """
+    paras = _paragraphs(delta, id_col, text_col, para_tokens).withColumn(
+        "phash", F.md5("para")
+    )
+    w = Window.partitionBy("phash").orderBy("_id", "pidx")
+    marked = (
+        paras.withColumn("_first_in_delta", F.row_number().over(w) == 1)
+        .join(
+            corpus_hashes.select("phash").distinct().withColumn(
+                "_in_corpus", F.lit(True)
+            ),
+            "phash",
+            "left",
+        )
+        .withColumn(
+            "_keep",
+            F.col("_first_in_delta") & F.coalesce(~F.col("_in_corpus"), F.lit(True)),
+        )
+        .persist()
+    )
+    agg = marked.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum((~F.col("_keep")).cast("long")).alias("n_dup_paras"),
+        F.round(
+            F.sum((~F.col("_keep")).cast("long")) / F.count(F.lit(1)), 4
+        ).alias("dup_para_fraction"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_keep"), F.struct("pidx", "para"))
+                    )
+                ),
+                lambda s: s.para,
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+    report = (
+        delta.select(F.col(id_col).alias("_id"))
+        .join(agg, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("n_paras", F.lit(0)).alias("n_paras"),
+            F.coalesce("n_dup_paras", F.lit(0)).alias("n_dup_paras"),
+            F.coalesce("dup_para_fraction", F.lit(0.0)).alias(
+                "dup_para_fraction"
+            ),
+            F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+        )
+    )
+    new_hashes = marked.where(F.col("_keep")).select("phash")
+    return report, new_hashes
 
 
 # --------------------------------------------------------------------------

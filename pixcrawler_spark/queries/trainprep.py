@@ -89,6 +89,76 @@ def text_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# text_paragraph_dedup_incremental — the O(delta) round-loop form
+# ---------------------------------------------------------------------------
+# Deterministic split (the dedup_minhash_incremental pattern): docs with
+# doc_id >= PARA_SPLIT are "this round's delta"; earlier docs are the
+# accumulated corpus whose paragraph hashes a real pipeline reads back
+# from the TableStore instead of rehashing (tests/test_trainprep.py
+# drives that store path through an ascending-id round loop and asserts
+# union == batch). This query checks the MATH on a fixed split: because
+# corpus ids all precede delta ids, the incremental report must equal
+# the batch keep-first restricted to the delta docs — which is exactly
+# what the oracle states.
+PARA_SPLIT = 400
+
+
+@register(
+    "text_paragraph_dedup_incremental",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    paras AS (
+      SELECT doc_id, pidx,
+             array_to_string(list_slice(toks, pidx*{PARA_TOKENS}+1,
+                                        pidx*{PARA_TOKENS}+{PARA_TOKENS}), ' ') AS para
+      FROM (SELECT doc_id, toks,
+                   unnest(range(CAST(floor(len(toks)/{PARA_TOKENS}) AS BIGINT))) AS pidx
+            FROM t)
+    ),
+    marked AS (
+      SELECT doc_id, pidx, para,
+             (row_number() OVER (PARTITION BY md5(para)
+                                 ORDER BY doc_id, pidx) = 1) AS keep
+      FROM paras
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_paras,
+             CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_dup_paras,
+             round(count(*) FILTER (WHERE NOT keep) * 1.0 / count(*), 4)
+               AS dup_para_fraction,
+             string_agg(para, ' ' ORDER BY pidx) FILTER (WHERE keep) AS kept_text
+      FROM marked WHERE doc_id >= {PARA_SPLIT} GROUP BY doc_id
+    )
+    SELECT d.doc_id AS doc_id,
+           coalesce(a.n_paras, 0) AS n_paras,
+           coalesce(a.n_dup_paras, 0) AS n_dup_paras,
+           coalesce(a.dup_para_fraction, 0.0) AS dup_para_fraction,
+           coalesce(a.kept_text, '') AS kept_text
+    FROM (SELECT doc_id FROM documents WHERE doc_id >= {PARA_SPLIT}) d
+    LEFT JOIN agg a ON d.doc_id = a.doc_id
+    """,
+    doc="Incremental (delta-vs-corpus) paragraph dedup: the delta's "
+    "paragraphs probe the accumulated paragraph-hash store instead of "
+    "rescanning corpus text — per-round cost O(delta), the same "
+    "static-side membership shape as the crawl seen-set. Oracle = the "
+    "batch keep-first restricted to the delta docs (exact because "
+    "corpus ids precede delta ids — the crawl's arrival order).",
+)
+def text_paragraph_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") < PARA_SPLIT)
+    delta = d.where(F.col("doc_id") >= PARA_SPLIT)
+    corpus_hashes = trainprep.paragraph_hashes(
+        corpus, "doc_id", "text", PARA_TOKENS
+    ).select("phash")
+    report, _new = trainprep.incremental_paragraph_dedup(
+        delta, corpus_hashes, "doc_id", "text", PARA_TOKENS
+    )
+    return report
+
+
+# ---------------------------------------------------------------------------
 # text_pii_redact — oracle-by-construction synthetic PII
 # ---------------------------------------------------------------------------
 # Deterministic synthesis (the queries/media.py pattern): each doc gets

@@ -48,6 +48,54 @@ def test_paragraph_dedup_keep_first_and_short_docs(spark):
 
 
 # ---------------------------------------------------------------------------
+# incremental_paragraph_dedup — round loop through a TableStore
+# ---------------------------------------------------------------------------
+def test_incremental_paragraph_round_union_equals_batch(spark, tmp_path):
+    """Ascending-id rounds through a paragraph-hash store: the union of
+    per-round incremental reports equals the batch keep-first, and the
+    store accumulates each distinct paragraph hash exactly once."""
+    from pixcrawler_spark.sources.tables import TableStore, load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    batch = {
+        r["doc_id"]: (
+            r["n_paras"], r["n_dup_paras"], r["dup_para_fraction"], r["kept_text"]
+        )
+        for r in trainprep.paragraph_dedup(d, "doc_id", "text", 10).collect()
+    }
+    assert any(v[1] > 0 for v in batch.values()), "fixture needs dup paragraphs"
+
+    store = TableStore(spark, str(tmp_path / "parastore"))
+    bounds = [(0, 150), (150, 320), (320, 10**9)]  # ascending id ranges
+    got = {}
+    for rnd, (lo, hi) in enumerate(bounds):
+        delta = d.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        if store.exists("para_hashes"):
+            corpus_hashes = store.read("para_hashes")
+        else:
+            corpus_hashes = spark.createDataFrame([], "phash string")
+        report, new_hashes = trainprep.incremental_paragraph_dedup(
+            delta, corpus_hashes, "doc_id", "text", 10
+        )
+        for r in report.collect():
+            assert r["doc_id"] not in got
+            got[r["doc_id"]] = (
+                r["n_paras"], r["n_dup_paras"], r["dup_para_fraction"], r["kept_text"]
+            )
+        store.append("para_hashes", new_hashes, tag=f"round-{rnd}")
+
+    assert got == batch
+    # store holds each distinct paragraph hash exactly once
+    n_distinct = (
+        trainprep.paragraph_hashes(d, "doc_id", "text", 10)
+        .select("phash").distinct().count()
+    )
+    assert store.count("para_hashes") == n_distinct
+
+
+# ---------------------------------------------------------------------------
 # pii_redact
 # ---------------------------------------------------------------------------
 def test_pii_redact_counts_and_placeholders(spark):
