@@ -263,6 +263,73 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# text_tfidf_topterms — corpus-statistics term scoring
+# ---------------------------------------------------------------------------
+TFIDF_TOPK = 3
+
+
+@register(
+    "text_tfidf_topterms",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM t GROUP BY doc_id, term),
+    df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+           FROM t GROUP BY term),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             round(tf.tf * ln((n.n + 1.0) / (df.df + 1.0)), 4) AS tfidf
+      FROM tf JOIN df USING(term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rk
+      FROM scored
+    )
+    SELECT doc_id, term, tf, df, tfidf, CAST(rk AS INTEGER) AS rk
+    FROM ranked WHERE rk <= {TFIDF_TOPK}
+    """,
+    doc=f"Per-doc top-{TFIDF_TOPK} tf-idf terms (smoothed idf "
+    "ln((N+1)/(df+1))): the classic two-pass corpus statistic — one "
+    "term-keyed aggregate builds the document-frequency table, the "
+    "doc-count reduces to a single broadcast row, and the per-doc "
+    "ranking window bounds output map-side (WindowGroupLimit on the "
+    "literal rank). No driver-side state; both aggregates shuffle on "
+    "uniform keys (doc, term).",
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.explode(
+            F.split(F.trim(F.col("text")), trainprep.TOKEN_SPLIT_REGEX)
+        ).alias("term"),
+    ).persist()  # tf and df both derive from the token explode
+    tf = t.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfc = t.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(dfc, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)), 4
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TFIDF_TOPK)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
 # dedup_connected_components — pairs → clusters → representatives
 # ---------------------------------------------------------------------------
 def _cc_steps(iters: int) -> str:
