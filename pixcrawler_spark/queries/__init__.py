@@ -23,6 +23,15 @@ from pixcrawler_spark.queries.registry import REGISTRY, Query, register
 # The overflow queries are NOT unverified: tests/test_queries_oracle.py
 # parameterizes over the ENTIRE registry and runs every query against
 # its DuckDB oracle on every pytest run, driver cap or not.
+# roundfive registers FIRST: sketches (HLL/CMS/KMV), recrawl schedule,
+# trap detection, span dedup, mixture sampling — 7 new queries that
+# must land inside the r04 window. They displace q01-q04 + the
+# advanced tail (q21+) into the overflow; every displaced query has a
+# green CORRECTNESS_r03 row (q01-q04 defined last in analytics.py so
+# q05-q20 — rowless since r02 — keep their window slots).
+# (roundfive imports only operators/sketches, which registers nothing,
+# so exactly its 7 queries take positions 1-7.)
+from pixcrawler_spark.queries import roundfive as _roundfive  # noqa: F401
 from pixcrawler_spark.queries import roundfour as _roundfour  # noqa: F401
 # trainprep's 5 corpus-hygiene queries register inside the r04 window;
 # the 5 entries they displace past the 50-cap (q29_quality_score +

@@ -16,128 +16,6 @@ from pixcrawler_spark.sources.tables import load_table
 
 
 # ---------------------------------------------------------------------------
-# Aggregation (SURVEY §2.4)
-# ---------------------------------------------------------------------------
-@register(
-    "q01_pricing_summary",
-    oracle="""
-    SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 4)                                     AS sum_qty,
-           round(sum(l_extendedprice), 4)                                AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 4)             AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
-           round(avg(l_quantity), 4)                                     AS avg_qty,
-           round(avg(l_extendedprice), 4)                                AS avg_price,
-           round(avg(l_discount), 4)                                     AS avg_disc,
-           count(*)                                                      AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-    GROUP BY l_returnflag, l_linestatus
-    """,
-    doc="TPC-H-Q1-style partial+final hash aggregation; flagship query. "
-    "Reference analog: run-stat folds (builder/_engine.py:83-110).",
-)
-def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
-    )
-
-
-@register(
-    "q02_top_customers",
-    oracle="""
-    SELECT c.c_custkey, c.c_name,
-           round(sum(o.o_totalprice), 4) AS revenue,
-           count(*)                      AS n_orders
-    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-    GROUP BY c.c_custkey, c.c_name
-    ORDER BY revenue DESC, c.c_custkey
-    LIMIT 10
-    """,
-    doc="Join + agg + deterministic top-k. Broadcast of the customer dim "
-    "(reference FK lookups, backend/services/crawl_job.py:446-452).",
-)
-def q02_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
-    return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy("c_custkey", "c_name")
-        .agg(
-            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
-            F.count(F.lit(1)).alias("n_orders"),
-        )
-        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
-        .limit(10)
-    )
-
-
-@register(
-    "q03_order_priority_count",
-    oracle="""
-    SELECT o_orderpriority, count(*) AS n
-    FROM orders GROUP BY o_orderpriority
-    """,
-    doc="Status-bucket counts (reference chunk counters, "
-    "backend/services/crawl_job.py:655-689).",
-)
-def q03_order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        load_table(spark, sf_dir, "orders")
-        .groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-
-
-@register(
-    "q04_regional_revenue",
-    oracle="""
-    SELECT r.r_name AS region,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
-    FROM lineitem l
-    JOIN orders o   ON l.l_orderkey = o.o_orderkey
-    JOIN customer c ON o.o_custkey = c.c_custkey
-    JOIN nation n   ON c.c_nationkey = n.n_nationkey
-    JOIN region r   ON n.n_regionkey = r.r_regionkey
-    GROUP BY r.r_name
-    """,
-    doc="Snowflake join chain with broadcast dims (reference ownership "
-    "chain job->dataset->project->user).",
-)
-def q04_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
-    n = load_table(spark, sf_dir, "nation")
-    r = load_table(spark, sf_dir, "region")
-    return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .groupBy(F.col("r_name").alias("region"))
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue")
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
 # Set membership: anti / semi joins (SURVEY §2.3 — THE core frontier op)
 # ---------------------------------------------------------------------------
 @register(
@@ -516,3 +394,130 @@ def q20_variation_topk_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.md5(F.concat(F.col("p_name"), F.lit("#42"))), F.asc("p_partkey"))
         .limit(15)
     )
+
+
+# ---------------------------------------------------------------------------
+# q01-q04 — defined LAST so they register after q05-q20: the round-4
+# correctness-window rotation (queries/__init__.py) needs q05-q20 inside
+# the driver's 50-entry cap; q01-q04 carry green CORRECTNESS_r03 rows,
+# so pushing them into the overflow keeps union(r03, r04) = full registry.
+# ---------------------------------------------------------------------------
+# ---------------------------------------------------------------------------
+@register(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4)                                     AS sum_qty,
+           round(sum(l_extendedprice), 4)                                AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4)             AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+           round(avg(l_quantity), 4)                                     AS avg_qty,
+           round(avg(l_extendedprice), 4)                                AS avg_price,
+           round(avg(l_discount), 4)                                     AS avg_disc,
+           count(*)                                                      AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H-Q1-style partial+final hash aggregation; flagship query. "
+    "Reference analog: run-stat folds (builder/_engine.py:83-110).",
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q02_top_customers",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           round(sum(o.o_totalprice), 4) AS revenue,
+           count(*)                      AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 10
+    """,
+    doc="Join + agg + deterministic top-k. Broadcast of the customer dim "
+    "(reference FK lookups, backend/services/crawl_job.py:446-452).",
+)
+def q02_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q03_order_priority_count",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Status-bucket counts (reference chunk counters, "
+    "backend/services/crawl_job.py:655-689).",
+)
+def q03_order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "q04_regional_revenue",
+    oracle="""
+    SELECT r.r_name AS region,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    doc="Snowflake join chain with broadcast dims (reference ownership "
+    "chain job->dataset->project->user).",
+)
+def q04_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+

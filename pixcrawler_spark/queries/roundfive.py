@@ -1,0 +1,693 @@
+"""Round-4 (late) queries: sketches, recrawl scheduling, trap detection,
+span-level dedup, corpus-mixture sampling.
+
+The telemetry + curation layer of a 10^10-url crawl: cardinality and
+frequency WITHOUT exact-distinct shuffles (HLL / CMS / KMV, all
+mergeable partial aggregates with *bit-exact* cross-engine oracles —
+see operators/sketches.py), the recrawl economics the reference's
+fixed retry ladder lacks (Cho & Garcia-Molina change-rate estimation),
+crawler-trap heuristics over raw urls, Lee-et-al-style duplicated
+token-span measurement, and deterministic hash sampling to per-lang
+token budgets (dataset mixture curation).
+
+Registered FIRST (queries/__init__.py) so all seven land inside the
+driver's 50-entry correctness window; the seven analytics/advanced
+queries they displace (q03, q04, q21-q25) all carry green
+CORRECTNESS_r03 rows, so union(r03, r04) still covers the registry.
+
+Reference analogs: the retry ladder + per-keyword progress tracking in
+builder/core (fixed backoff, exact Python set sizes) and the
+duplicate-heavy directory assumption of validator/integrity.py:389-426;
+everything here replaces exact, driver-memory bookkeeping with
+fixed-size mergeable state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pixcrawler_spark.operators import sketches as sk
+from pixcrawler_spark.queries.registry import register
+from pixcrawler_spark.sources.tables import load_table
+
+__all__: list[str] = []
+
+
+# ---------------------------------------------------------------------------
+# sketch_hll_distinct_urls — HLL vs exact per group
+# ---------------------------------------------------------------------------
+@register(
+    "sketch_hll_distinct_urls",
+    oracle=f"""
+    WITH est AS (
+      {sk.sql_hll("lineitem", ["l_returnflag"], "CAST(l_orderkey AS VARCHAR)")}
+    ),
+    ex AS (
+      SELECT l_returnflag,
+             COUNT(DISTINCT l_orderkey)::BIGINT AS exact_distinct
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT ex.l_returnflag, exact_distinct, hll_distinct,
+           ROUND(100.0 * abs(hll_distinct - exact_distinct)
+                 / exact_distinct, 2) AS err_pct
+    FROM est JOIN ex USING (l_returnflag)
+    """,
+    doc="HyperLogLog (m=512) distinct-url telemetry per group vs the "
+    "exact count: the per-partition seen-set growth / dedup hit-rate "
+    "metric of the round loop, as a map-side partial aggregate whose "
+    "shuffle is <= groups x 512 register rows regardless of input "
+    "size. Estimate reproduced bit-for-bit by the oracle (integer-"
+    "space Z sum).",
+)
+def sketch_hll_distinct_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    reg = sk.hll_registers(
+        li, ["l_returnflag"], F.col("l_orderkey").cast("string")
+    )
+    est = sk.hll_estimate(reg, ["l_returnflag"])
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("exact_distinct")
+    )
+    return est.join(exact, "l_returnflag").select(
+        "l_returnflag",
+        "exact_distinct",
+        "hll_distinct",
+        F.round(
+            F.lit(100.0)
+            * F.abs(F.col("hll_distinct") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            2,
+        ).alias("err_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sketch_cms_hot_domains — count-min heavy hitters
+# ---------------------------------------------------------------------------
+_CMS_J = "unnest(range(4))"
+
+
+@register(
+    "sketch_cms_hot_domains",
+    oracle=f"""
+    WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+    jj AS (SELECT {_CMS_J} AS j),
+    counters AS (
+      SELECT j, {sk.sql_cms_bucket("k", "j")} AS bucket,
+             COUNT(*)::BIGINT AS cnt
+      FROM ev, jj GROUP BY j, bucket
+    ),
+    exact AS (SELECT k, COUNT(*)::BIGINT AS exact_cnt FROM ev GROUP BY k),
+    probes AS (
+      SELECT k, j, {sk.sql_cms_bucket("k", "j")} AS bucket FROM exact, jj
+    ),
+    est AS (
+      SELECT k, MIN(COALESCE(cnt, 0))::BIGINT AS cms_est
+      FROM probes LEFT JOIN counters USING (j, bucket) GROUP BY k
+    )
+    SELECT CAST(k AS BIGINT) AS domain_id, exact_cnt, cms_est,
+           (cms_est - exact_cnt)::BIGINT AS overcount
+    FROM exact JOIN est USING (k)
+    ORDER BY cms_est DESC, domain_id LIMIT 20
+    """,
+    doc="Count-min sketch (d=4, w=64) heavy-hitter estimates for the "
+    "politeness/salting key, vs exact counts (overcount >= 0 always — "
+    "the one-sided CMS guarantee). The cheap feed for 'which domains "
+    "need salting' in the skew path; counters are SUM-mergeable so "
+    "the build is one map-side partial agg.",
+)
+def sketch_cms_hot_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("k")
+    )
+    counters = sk.cms_counters(ev, F.col("k"))
+    exact = ev.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_cnt")
+    )
+    est = sk.cms_estimate(counters, exact.select("k"), "k")
+    return (
+        exact.join(est, "k")
+        .select(
+            F.col("k").cast("bigint").alias("domain_id"),
+            "exact_cnt",
+            F.col("cms_est").cast("bigint").alias("cms_est"),
+            (F.col("cms_est") - F.col("exact_cnt"))
+            .cast("bigint")
+            .alias("overcount"),
+        )
+        .orderBy(F.desc("cms_est"), "domain_id")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# sketch_kmv_round_overlap — bottom-k union/intersection across rounds
+# ---------------------------------------------------------------------------
+_KMV_EST = (
+    f"ROUND({float(sk.KMV_K - 1)!r} * {float(1 << sk.HASH_BITS)!r}"
+    " / {kth}::DOUBLE, 2)"
+)
+_H_CUST = sk.sql_h60("CAST(o_custkey AS VARCHAR)")
+
+
+def _kmv_est_sql(kth: str) -> str:
+    return _KMV_EST.format(kth=kth)
+
+
+@register(
+    "sketch_kmv_round_overlap",
+    oracle=f"""
+    WITH ha AS (
+      SELECT DISTINCT {_H_CUST} AS hv FROM orders WHERE o_orderkey % 3 < 2
+    ),
+    hb AS (
+      SELECT DISTINCT {_H_CUST} AS hv FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    ka AS (SELECT hv FROM ha ORDER BY hv LIMIT {sk.KMV_K}),
+    kb AS (SELECT hv FROM hb ORDER BY hv LIMIT {sk.KMV_K}),
+    ku AS (
+      SELECT hv FROM (SELECT hv FROM ha UNION SELECT hv FROM hb)
+      ORDER BY hv LIMIT {sk.KMV_K}
+    ),
+    shared AS (
+      SELECT COUNT(*)::BIGINT AS m FROM ku
+      WHERE hv IN (SELECT hv FROM ha) AND hv IN (SELECT hv FROM hb)
+    )
+    SELECT
+      (SELECT COUNT(*) FROM ha)::BIGINT AS exact_a,
+      (SELECT COUNT(*) FROM hb)::BIGINT AS exact_b,
+      (SELECT COUNT(*) FROM (SELECT hv FROM ha UNION SELECT hv FROM hb))::BIGINT
+        AS exact_union,
+      (SELECT COUNT(*) FROM ha WHERE hv IN (SELECT hv FROM hb))::BIGINT
+        AS exact_inter,
+      {_kmv_est_sql("(SELECT MAX(hv) FROM ka)")} AS est_a,
+      {_kmv_est_sql("(SELECT MAX(hv) FROM kb)")} AS est_b,
+      {_kmv_est_sql("(SELECT MAX(hv) FROM ku)")} AS est_union,
+      ROUND((SELECT m FROM shared)::DOUBLE / {sk.KMV_K}
+            * ({float(sk.KMV_K - 1)!r} * {float(1 << sk.HASH_BITS)!r}
+               / (SELECT MAX(hv) FROM ku)::DOUBLE), 2) AS est_inter
+    """,
+    doc="K-minimum-values (k=256) union / intersection cardinality "
+    "between two crawl rounds' url sets — 'how many NEW urls did this "
+    "round contribute' without materializing either set. Bottom-k is "
+    "ORDER BY hash LIMIT k = TakeOrdered (per-partition k, k-row "
+    "driver merge, no full sort); md5 collisions are absent so the "
+    "distinct hash set is the distinct key set.",
+)
+def sketch_kmv_round_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    key = F.col("o_custkey").cast("string")
+    a = o.filter(F.col("o_orderkey") % 3 < 2).select(sk.h60(key).alias("hv")).distinct()
+    b = o.filter(F.col("o_orderkey") % 2 == 0).select(sk.h60(key).alias("hv")).distinct()
+    u = a.union(b).distinct()
+    ka = a.orderBy("hv").limit(sk.KMV_K)
+    kb = b.orderBy("hv").limit(sk.KMV_K)
+    ku = u.orderBy("hv").limit(sk.KMV_K)
+    # shared = bottom-k(union) members present in BOTH sides
+    shared = (
+        ku.join(
+            a.withColumnRenamed("hv", "hva"),
+            F.col("hv") == F.col("hva"),
+            "left_semi",
+        )
+        .join(
+            b.withColumnRenamed("hv", "hvb"),
+            F.col("hv") == F.col("hvb"),
+            "left_semi",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    )
+    exact_a = a.agg(F.count(F.lit(1)).cast("bigint").alias("exact_a"))
+    exact_b = b.agg(F.count(F.lit(1)).cast("bigint").alias("exact_b"))
+    exact_u = u.agg(F.count(F.lit(1)).cast("bigint").alias("exact_union"))
+    exact_i = a.join(b, "hv", "left_semi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_inter")
+    )
+    kth_a = ka.agg(F.max("hv").alias("kth_a"))
+    kth_b = kb.agg(F.max("hv").alias("kth_b"))
+    kth_u = ku.agg(F.max("hv").alias("kth_u"))
+
+    def est(kth: Column) -> Column:
+        return F.round(sk.kmv_estimate_col(kth), 2)
+
+    return (
+        exact_a.crossJoin(exact_b)
+        .crossJoin(exact_u)
+        .crossJoin(exact_i)
+        .crossJoin(kth_a)
+        .crossJoin(kth_b)
+        .crossJoin(kth_u)
+        .crossJoin(shared)
+        .select(
+            "exact_a",
+            "exact_b",
+            "exact_union",
+            "exact_inter",
+            est(F.col("kth_a")).alias("est_a"),
+            est(F.col("kth_b")).alias("est_b"),
+            est(F.col("kth_u")).alias("est_union"),
+            F.round(
+                F.col("m").cast("double")
+                / F.lit(sk.KMV_K)
+                * sk.kmv_estimate_col(F.col("kth_u")),
+                2,
+            ).alias("est_inter"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# crawl_recrawl_schedule — Cho & Garcia-Molina change-rate estimation
+# ---------------------------------------------------------------------------
+CHANGE_THRESHOLD = 100.0  # fetch 'changed' iff observed value > this
+RECRAWL_BASE_S = 86400  # target: one interval per expected change/day
+RECRAWL_NOW = "2024-02-01 00:00:00"  # just past the fixture's ts range
+
+
+@register(
+    "crawl_recrawl_schedule",
+    oracle=f"""
+    WITH hist AS (
+      SELECT user_id AS url_id,
+             COUNT(*)::BIGINT AS n_obs,
+             SUM(CASE WHEN value > {CHANGE_THRESHOLD!r} THEN 1 ELSE 0
+                 END)::BIGINT AS n_changes,
+             MAX(ts) AS last_fetch_ts
+      FROM events GROUP BY user_id
+    ),
+    rates AS (
+      SELECT *,
+             ROUND(-ln((n_obs - n_changes + 0.5) / (n_obs + 0.5)), 6) AS rr
+      FROM hist
+    ),
+    sched AS (
+      -- change_rate is the 6-decimal rr itself: a SECOND rounding to
+      -- fewer digits would manufacture exact half-way ties (x.xxx50)
+      -- that HALF_UP (Spark) and round-half-even-on-doubles (DuckDB)
+      -- break differently
+      SELECT url_id, n_obs, n_changes,
+             rr AS change_rate,
+             CAST(ROUND({RECRAWL_BASE_S} / greatest(rr, 0.001), 0) AS BIGINT)
+               AS interval_s,
+             last_fetch_ts
+      FROM rates
+    )
+    SELECT url_id, n_obs, n_changes, change_rate, interval_s,
+           last_fetch_ts + to_seconds(interval_s) AS next_fetch_ts,
+           (last_fetch_ts + to_seconds(interval_s))
+             < TIMESTAMP '{RECRAWL_NOW}' AS due_now
+    FROM sched
+    """,
+    doc="Recrawl scheduling from per-url fetch history: the Cho & "
+    "Garcia-Molina (2003) Poisson change-rate estimator "
+    "r = -ln((n-X+0.5)/(n+0.5)) over n observations with X observed "
+    "changes, mapped to a next-fetch time. Replaces the reference's "
+    "fixed retry ladder with change-rate-proportional revisit "
+    "economics; one groupBy over the fetch log, no shuffle beyond it.",
+)
+def crawl_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hist = ev.groupBy(F.col("user_id").alias("url_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.sum(
+            F.when(F.col("value") > CHANGE_THRESHOLD, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_changes"),
+        F.max("ts").alias("last_fetch_ts"),
+    )
+    rr = F.round(
+        -F.log(
+            (F.col("n_obs") - F.col("n_changes") + 0.5)
+            / (F.col("n_obs") + 0.5)
+        ),
+        6,
+    )
+    # single rounding only (to 6 decimals, in rr): re-rounding the
+    # already-rounded value to 4 digits creates exact .xxx50 ties that
+    # the two engines' rounding modes break differently
+    sched = hist.select(
+        "url_id",
+        "n_obs",
+        "n_changes",
+        rr.alias("change_rate"),
+        F.round(
+            F.lit(float(RECRAWL_BASE_S)) / F.greatest(rr, F.lit(0.001)), 0
+        )
+        .cast("bigint")
+        .alias("interval_s"),
+        "last_fetch_ts",
+    )
+    next_ts = F.expr("timestampadd(SECOND, interval_s, last_fetch_ts)")
+    return sched.select(
+        "url_id",
+        "n_obs",
+        "n_changes",
+        "change_rate",
+        "interval_s",
+        next_ts.alias("next_fetch_ts"),
+        (next_ts < F.lit(RECRAWL_NOW).cast("timestamp")).alias("due_now"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# crawl_trap_detection — crawler-trap heuristics over raw urls
+# ---------------------------------------------------------------------------
+# Deterministic messy-URL synthesis from orderkeys (same pattern as
+# crawl_url_canonicalize): both engines build the identical url, so the
+# oracle checks the PARSING + signal logic, not the fixture. Variants:
+# benign; adjacent-repeat segments (the classic symlink/self-link
+# trap); calendar archive; deep path + session id + param spray.
+_TRAP_VARIANTS_SQL = [
+    "'https://site' || (o_orderkey % 97) || '.example.com/products/item'"
+    " || o_orderkey",
+    "'https://site' || (o_orderkey % 97) || '.example.com/cat/cat/cat/page'"
+    " || o_orderkey",
+    "'https://site' || (o_orderkey % 97) || '.example.com/2023/'"
+    " || lpad(CAST(o_orderkey % 12 + 1 AS VARCHAR), 2, '0') || '/'"
+    " || lpad(CAST(o_orderkey % 28 + 1 AS VARCHAR), 2, '0') || '/post'"
+    " || o_orderkey",
+    "'https://site' || (o_orderkey % 97)"
+    " || '.example.com/a/b/c/d/e/f/g/h/item' || o_orderkey"
+    " || '?phpsessid=s' || o_orderkey || '&x=1&y=2&z=3&w=4'",
+]
+
+
+def _trap_variants_spark(k: Column) -> list[Column]:
+    site = F.concat(F.lit("https://site"), (k % 97).cast("string"), F.lit(".example.com"))
+    ks = k.cast("string")
+    return [
+        F.concat(site, F.lit("/products/item"), ks),
+        F.concat(site, F.lit("/cat/cat/cat/page"), ks),
+        F.concat(
+            site,
+            F.lit("/2023/"),
+            F.lpad((k % 12 + 1).cast("string"), 2, "0"),
+            F.lit("/"),
+            F.lpad((k % 28 + 1).cast("string"), 2, "0"),
+            F.lit("/post"),
+            ks,
+        ),
+        F.concat(
+            site,
+            F.lit("/a/b/c/d/e/f/g/h/item"),
+            ks,
+            F.lit("?phpsessid=s"),
+            ks,
+            F.lit("&x=1&y=2&z=3&w=4"),
+        ),
+    ]
+
+
+@register(
+    "crawl_trap_detection",
+    oracle=f"""
+    WITH urls AS (
+      SELECT unnest([{", ".join(_TRAP_VARIANTS_SQL)}]) AS url FROM orders
+    ),
+    parsed AS (
+      SELECT url,
+             string_split(regexp_replace(url, '^https?://[^/]+', ''), '?')[1]
+               AS path,
+             COALESCE(string_split(
+               regexp_replace(url, '^https?://[^/]+', ''), '?')[2], '')
+               AS query
+      FROM urls
+    ),
+    segd AS (
+      SELECT url, query,
+             list_filter(string_split(path, '/'), s -> s <> '') AS segs
+      FROM parsed
+    ),
+    sig AS (
+      SELECT url,
+             len(segs)::BIGINT AS depth,
+             CASE WHEN query = '' THEN 0
+                  ELSE len(string_split(query, '&')) END::BIGINT AS n_params,
+             COALESCE(list_contains(
+               list_transform(range(1, len(segs)),
+                              i -> segs[i] = segs[i+1]), true), false)
+               AS has_repeat,
+             regexp_matches(url, '/20[0-9][0-9]/[0-9][0-9]/') AS has_calendar,
+             (contains(lower(url), 'phpsessid=')
+              OR contains(lower(url), 'sessionid=')) AS has_session
+      FROM segd
+    )
+    SELECT url, depth, n_params, has_repeat, has_calendar, has_session,
+           (CASE WHEN has_session THEN 3 ELSE 0 END
+            + CASE WHEN has_repeat THEN 2 ELSE 0 END
+            + CASE WHEN has_calendar THEN 2 ELSE 0 END
+            + CASE WHEN depth >= 8 THEN 1 ELSE 0 END
+            + CASE WHEN n_params >= 4 THEN 1 ELSE 0 END)::BIGINT AS trap_score,
+           (CASE WHEN has_session THEN 3 ELSE 0 END
+            + CASE WHEN has_repeat THEN 2 ELSE 0 END
+            + CASE WHEN has_calendar THEN 2 ELSE 0 END
+            + CASE WHEN depth >= 8 THEN 1 ELSE 0 END
+            + CASE WHEN n_params >= 4 THEN 1 ELSE 0 END) >= 2 AS is_trap
+    FROM sig
+    """,
+    doc="Crawler-trap detection over raw urls: adjacent-repeat path "
+    "segments (symlink/self-link traps), calendar archives, session "
+    "ids, parameter spray, depth explosion — scored per url, pure "
+    "string/array Catalyst expressions (no UDF, no regex "
+    "backreferences, so the same signals run JVM-side here and in "
+    "RE2-based engines). Feeds the frontier's enqueue filter; at "
+    "10^10 urls it is a narrow map, no shuffle at all.",
+)
+def crawl_trap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    urls = o.select(
+        F.explode(F.array(*_trap_variants_spark(F.col("o_orderkey")))).alias(
+            "url"
+        )
+    )
+    rest = F.regexp_replace("url", r"^https?://[^/]+", "")
+    parsed = urls.select(
+        "url",
+        F.split(rest, r"\?").getItem(0).alias("path"),
+        F.coalesce(F.split(rest, r"\?").getItem(1), F.lit("")).alias("query"),
+    )
+    segd = parsed.select(
+        "url",
+        "query",
+        F.filter(F.split("path", "/"), lambda s: s != "").alias("segs"),
+    )
+    depth = F.size("segs").cast("bigint")
+    n_params = (
+        F.when(F.col("query") == "", F.lit(0))
+        .otherwise(F.size(F.split("query", "&")))
+        .cast("bigint")
+    )
+    has_repeat = F.when(F.size("segs") < 2, F.lit(False)).otherwise(
+        F.array_contains(
+            F.expr(
+                "transform(sequence(1, size(segs) - 1),"
+                " i -> element_at(segs, i) = element_at(segs, i + 1))"
+            ),
+            True,
+        )
+    )
+    has_calendar = F.col("url").rlike("/20[0-9][0-9]/[0-9][0-9]/")
+    has_session = F.lower("url").contains("phpsessid=") | F.lower(
+        "url"
+    ).contains("sessionid=")
+    sig = segd.select(
+        "url",
+        depth.alias("depth"),
+        n_params.alias("n_params"),
+        has_repeat.alias("has_repeat"),
+        has_calendar.alias("has_calendar"),
+        has_session.alias("has_session"),
+    )
+    score = (
+        F.when(F.col("has_session"), 3).otherwise(0)
+        + F.when(F.col("has_repeat"), 2).otherwise(0)
+        + F.when(F.col("has_calendar"), 2).otherwise(0)
+        + F.when(F.col("depth") >= 8, 1).otherwise(0)
+        + F.when(F.col("n_params") >= 4, 1).otherwise(0)
+    ).cast("bigint")
+    return sig.select(
+        "url",
+        "depth",
+        "n_params",
+        "has_repeat",
+        "has_calendar",
+        "has_session",
+        score.alias("trap_score"),
+        (score >= 2).alias("is_trap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_span_dedup — duplicated token-window measurement (Lee et al. 2022)
+# ---------------------------------------------------------------------------
+SPAN_W = 12  # tokens per window (Lee et al. used 50 BPE tokens; the
+             # fixture docs average ~54 whitespace tokens)
+
+
+@register(
+    "text_span_dedup",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents
+    ),
+    sp AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len(toks) - {SPAN_W - 1}, 0) + 1),
+               i -> md5(array_to_string(toks[i:i+{SPAN_W - 1}], ' '))))
+               AS span_h
+      FROM t
+    ),
+    freq AS (SELECT span_h, COUNT(*) AS c FROM sp GROUP BY span_h),
+    pd AS (
+      SELECT doc_id, COUNT(*)::BIGINT AS n_spans,
+             SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END)::BIGINT AS dup_spans
+      FROM sp JOIN freq USING (span_h) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(n_spans, 0)::BIGINT AS n_spans,
+           COALESCE(dup_spans, 0)::BIGINT AS dup_spans,
+           ROUND(CASE WHEN COALESCE(n_spans, 0) = 0 THEN 0.0
+                      ELSE dup_spans::DOUBLE / n_spans END, 4) AS dup_frac
+    FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+    """,
+    doc=f"Span-level (substring) duplication: every {SPAN_W}-token "
+    "window rolling-hashed, corpus-wide window frequencies, per-doc "
+    "duplicated-span fraction — the measurement behind Lee et al. "
+    "2022's 'Deduplicating Training Data Makes Language Models "
+    "Better' ExactSubstr dedup, approximated at token-window "
+    "granularity. Plan: one explode (~n_tokens rows per doc), one "
+    "count per hash (map-side partial), one doc-keyed agg; span "
+    "hashes are uniform so the shuffle has no hot keys.",
+)
+def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    spans = F.when(
+        F.size(toks) >= SPAN_W,
+        F.expr(
+            f"transform(sequence(1, size(split(trim(text), '\\\\s+'))"
+            f" - {SPAN_W - 1}),"
+            f" i -> md5(concat_ws(' ',"
+            f" slice(split(trim(text), '\\\\s+'), i, {SPAN_W}))))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sp = d.select("doc_id", F.explode(spans).alias("span_h"))
+    freq = sp.groupBy("span_h").agg(F.count(F.lit(1)).alias("c"))
+    pd_ = (
+        sp.join(freq, "span_h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("dup_spans"),
+        )
+    )
+    return d.select("doc_id").join(pd_, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+        F.coalesce("dup_spans", F.lit(0)).cast("bigint").alias("dup_spans"),
+        F.round(
+            F.when(F.coalesce("n_spans", F.lit(0)) == 0, 0.0).otherwise(
+                F.col("dup_spans").cast("double") / F.col("n_spans")
+            ),
+            4,
+        ).alias("dup_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sample_corpus_mixture — deterministic hash sampling to token budgets
+# ---------------------------------------------------------------------------
+MIX_BUDGET_TOKENS = 3000  # per-lang token budget
+_MIX_KEY = "'mix:' || CAST(doc_id AS VARCHAR)"
+_MIX_U = f"{sk.sql_h60(_MIX_KEY)} % 1000000"
+
+
+@register(
+    "sample_corpus_mixture",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, lang,
+             len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tok,
+             {_MIX_U} AS u
+      FROM documents
+    ),
+    tot AS (
+      SELECT lang, COUNT(*)::BIGINT AS n_docs,
+             SUM(n_tok)::BIGINT AS total_tokens
+      FROM docs GROUP BY lang
+    ),
+    rated AS (
+      SELECT lang, n_docs, total_tokens,
+             least(1.0, {float(MIX_BUDGET_TOKENS)!r} / total_tokens::DOUBLE)
+               AS rate
+      FROM tot
+    )
+    SELECT r.lang, n_docs, total_tokens,
+           ROUND(rate, 6) AS sample_rate,
+           SUM(CASE WHEN u < CAST(floor(rate * 1000000) AS BIGINT)
+               THEN 1 ELSE 0 END)::BIGINT AS kept_docs,
+           SUM(CASE WHEN u < CAST(floor(rate * 1000000) AS BIGINT)
+               THEN n_tok ELSE 0 END)::BIGINT AS kept_tokens
+    FROM rated r JOIN docs d USING (lang)
+    GROUP BY r.lang, n_docs, total_tokens, rate
+    """,
+    doc=f"Corpus mixture curation: deterministic hash sampling of each "
+    f"language down to a {MIX_BUDGET_TOKENS}-token budget — the "
+    "per-source mixture-weight downsampling every LLM data pipeline "
+    "runs before training. The keep decision is a pure function of "
+    "doc_id (portable 60-bit hash vs the lang's rate), so the kept "
+    "set is reproducible across engines, runs, and cluster sizes; "
+    "the lang-rate dim is broadcast, the scan stays shuffle-free.",
+)
+def sample_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("bigint")
+        .alias("n_tok"),
+        (
+            sk.h60(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
+            % 1000000
+        ).alias("u"),
+    )
+    tot = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+    )
+    rated = tot.select(
+        "lang",
+        "n_docs",
+        "total_tokens",
+        F.least(
+            F.lit(1.0),
+            F.lit(float(MIX_BUDGET_TOKENS))
+            / F.col("total_tokens").cast("double"),
+        ).alias("rate"),
+    )
+    keep = F.col("u") < F.floor(F.col("rate") * 1000000)
+    return (
+        docs.join(F.broadcast(rated), "lang")
+        .groupBy("lang", "n_docs", "total_tokens", "rate")
+        .agg(
+            F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias("kept_docs"),
+            F.sum(F.when(keep, F.col("n_tok")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_tokens",
+            F.round("rate", 6).alias("sample_rate"),
+            "kept_docs",
+            "kept_tokens",
+        )
+    )

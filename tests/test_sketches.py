@@ -1,0 +1,194 @@
+"""Property tests for the sketch operators (operators/sketches.py):
+accuracy bounds, the CMS one-sided guarantee, and — the property that
+makes them usable at 10^10 rows — mergeability of the partial states.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pixcrawler_spark.operators import sketches as sk
+from pixcrawler_spark.queries.registry import REGISTRY
+from pixcrawler_spark.sources.tables import load_table
+
+SF01 = "/root/testdata/sf0.01"
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+def test_hll_error_bound(spark):
+    li = load_table(spark, SF01, "lineitem")
+    reg = sk.hll_registers(li, ["l_returnflag"], F.col("l_orderkey").cast("string"))
+    est = {
+        r["l_returnflag"]: r["hll_distinct"]
+        for r in sk.hll_estimate(reg, ["l_returnflag"]).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["c"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("c"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for flag, e in est.items():
+        # m=512 -> sigma ~4.6%; 3 sigma < 14%
+        assert abs(e - exact[flag]) / exact[flag] < 0.14, (flag, e, exact[flag])
+
+
+def test_hll_registers_merge(spark):
+    """max-merge of two halves' registers == registers of the whole —
+    the property that lets the round loop keep per-partition HLL state
+    and fold it without rescanning (and why Catalyst can partial-agg
+    it map-side)."""
+    li = load_table(spark, SF01, "lineitem").withColumn(
+        "half", (F.col("l_orderkey") % 2).cast("int")
+    )
+    key = F.col("l_orderkey").cast("string")
+    whole = sk.hll_registers(li, [], key)
+    halves = sk.hll_registers(li, ["half"], key)
+    merged = halves.groupBy("bucket").agg(F.max("rho").alias("rho"))
+    diff = merged.join(whole, "bucket").filter(
+        merged["rho"] != whole["rho"]
+    ).count()
+    assert diff == 0
+    assert merged.count() == whole.count()
+
+
+def test_hll_register_count_bounded(spark):
+    li = load_table(spark, SF01, "lineitem")
+    reg = sk.hll_registers(li, ["l_returnflag"], F.col("l_orderkey").cast("string"))
+    per_group = reg.groupBy("l_returnflag").count().collect()
+    assert all(r["count"] <= sk.HLL_M for r in per_group)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+# ---------------------------------------------------------------------------
+def test_cms_one_sided_and_bounded(spark):
+    ev = load_table(spark, SF01, "events").select(
+        F.col("user_id").cast("string").alias("k")
+    )
+    counters = sk.cms_counters(ev, F.col("k"))
+    exact = ev.groupBy("k").agg(F.count(F.lit(1)).alias("exact"))
+    est = sk.cms_estimate(counters, exact.select("k"), "k")
+    rows = exact.join(est, "k").collect()
+    n_total = sum(r["exact"] for r in rows)
+    for r in rows:
+        assert r["cms_est"] >= r["exact"], r  # never underestimates
+        # standard CMS bound: overcount <= e*N/w with prob 1-(1/e)^d;
+        # allow the full e*N/w here (w=64 is deliberately tight)
+        assert r["cms_est"] - r["exact"] <= 2.72 * n_total / sk.CMS_WIDTH, r
+
+
+def test_cms_counters_mergeable(spark):
+    """SUM-merge of per-half counters == counters of the whole."""
+    ev = load_table(spark, SF01, "events").select(
+        F.col("user_id").cast("string").alias("k"),
+        (F.col("event_id") % 2).alias("half"),
+    )
+    whole = sk.cms_counters(ev, F.col("k"))
+    h0 = sk.cms_counters(ev.filter("half = 0"), F.col("k"))
+    h1 = sk.cms_counters(ev.filter("half = 1"), F.col("k"))
+    merged = (
+        h0.union(h1).groupBy("j", "bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+    diff = (
+        merged.join(whole, ["j", "bucket"], "full")
+        .filter(
+            F.coalesce(merged["cnt"], F.lit(0))
+            != F.coalesce(whole["cnt"], F.lit(0))
+        )
+        .count()
+    )
+    assert diff == 0
+
+
+# ---------------------------------------------------------------------------
+# KMV
+# ---------------------------------------------------------------------------
+def test_kmv_estimate_accuracy(spark):
+    o = load_table(spark, SF01, "orders")
+    key = F.col("o_custkey").cast("string")
+    exact = o.select("o_custkey").distinct().count()
+    bk = sk.kmv_bottomk(o, key)
+    kth = bk.agg(F.max("hv")).collect()[0][0]
+    est = float(sk.KMV_K - 1) * float(1 << sk.HASH_BITS) / kth
+    # k=256 -> sigma ~ 1/sqrt(k) ~ 6.3%; allow 3 sigma
+    assert abs(est - exact) / exact < 0.19, (est, exact)
+
+
+def test_kmv_bottomk_is_k_smallest(spark):
+    o = load_table(spark, SF01, "orders")
+    key = F.col("o_custkey").cast("string")
+    got = [r["hv"] for r in sk.kmv_bottomk(o, key).collect()]
+    allh = sorted(
+        r["hv"] for r in o.select(sk.h60(key).alias("hv")).distinct().collect()
+    )
+    assert got == allh[: sk.KMV_K]
+
+
+# ---------------------------------------------------------------------------
+# trap detection / recrawl semantics (via the registered queries)
+# ---------------------------------------------------------------------------
+def test_trap_variants_classified(spark, sf_dir):
+    rows = REGISTRY["crawl_trap_detection"].fn(spark, sf_dir).collect()
+    by_kind = {"benign": [], "repeat": [], "calendar": [], "session": []}
+    for r in rows:
+        if "/products/" in r["url"]:
+            by_kind["benign"].append(r)
+        elif "/cat/cat/" in r["url"]:
+            by_kind["repeat"].append(r)
+        elif "/post" in r["url"]:
+            by_kind["calendar"].append(r)
+        else:
+            by_kind["session"].append(r)
+    assert all(len(v) > 0 for v in by_kind.values())
+    assert all(not r["is_trap"] and r["trap_score"] == 0 for r in by_kind["benign"])
+    assert all(r["has_repeat"] and r["is_trap"] for r in by_kind["repeat"])
+    # calendar urls: /2023/{mm}/{dd}/... — when mm == dd the adjacent
+    # segments genuinely repeat, so has_repeat is data-dependent there
+    assert all(r["has_calendar"] for r in by_kind["calendar"])
+    assert all(
+        r["has_session"] and r["depth"] == 9 and r["n_params"] == 5
+        and r["trap_score"] == 5 and r["is_trap"]
+        for r in by_kind["session"]
+    )
+
+
+def test_recrawl_monotonic_in_change_rate(spark, sf_dir):
+    rows = REGISTRY["crawl_recrawl_schedule"].fn(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 <= r["n_changes"] <= r["n_obs"]
+        assert r["interval_s"] >= 1
+        if r["n_changes"] == 0:
+            # no observed change -> rate clamps to the floor -> max wait
+            assert r["interval_s"] == 86400000
+    # more changes per observation => shorter interval (same n_obs)
+    by_obs: dict[int, list] = {}
+    for r in rows:
+        by_obs.setdefault(r["n_obs"], []).append(r)
+    for obs_rows in by_obs.values():
+        s = sorted(obs_rows, key=lambda r: r["n_changes"])
+        for a, b in zip(s, s[1:]):
+            if a["n_changes"] < b["n_changes"]:
+                assert a["interval_s"] >= b["interval_s"]
+
+
+def test_span_dedup_bounds(spark, sf_dir):
+    rows = REGISTRY["text_span_dedup"].fn(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 <= r["dup_spans"] <= r["n_spans"]
+        assert 0.0 <= r["dup_frac"] <= 1.0
+
+
+def test_mixture_respects_budget_direction(spark, sf_dir):
+    rows = REGISTRY["sample_corpus_mixture"].fn(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["kept_docs"] <= r["n_docs"]
+        assert r["kept_tokens"] <= r["total_tokens"]
+        if r["sample_rate"] >= 1.0:
+            assert r["kept_docs"] == r["n_docs"]
