@@ -51,6 +51,11 @@ HEADLINE = [
     "text_decontaminate",
     "dedup_connected_components",
     "dedup_semantic_clusters",
+    # round 4 sketch/scheduling family
+    "sketch_hll_distinct_urls",
+    "crawl_recrawl_schedule",
+    "crawl_trap_detection",
+    "text_span_dedup",
 ]
 
 

@@ -14,12 +14,12 @@ from pixcrawler_spark.queries.registry import REGISTRY, Query, register
 # query. Rotation schedule:
 #   r03 window: media, jobops, pipeline, scalepath, webtext, urlgraph,
 #               crawlops, advanced, q01-q04  (q05-q20 overflowed)
-#   r04 window: NEW round-4 queries (PSL, incremental minhash, recall
-#               frontier, PQ/IVF-PQ), analytics q01-q20, advanced,
-#               crawlops (through crawl_robots_parse), pipeline head
-#               (crawl_seen_anti_join, crawl_url_canonicalize + the
-#               scalepath/webtext/media/jobops tail overflow — ALL
-#               overflow queries have green r03 driver rows)
+#   r04 window: roundfive's 7 sketch/scheduling queries, pipeline head
+#               (dedup/ann/text core), roundfour's 6 (PSL, incremental
+#               minhash, recall frontier, PQ/IVF-PQ), trainprep's 8,
+#               analytics q05-q20 + q01-q02. Overflow: q03-q04,
+#               advanced q21-q29, crawlops, scalepath/webtext/media/
+#               jobops tails — ALL with green r03 driver rows.
 # The overflow queries are NOT unverified: tests/test_queries_oracle.py
 # parameterizes over the ENTIRE registry and runs every query against
 # its DuckDB oracle on every pytest run, driver cap or not.

@@ -402,7 +402,6 @@ def q20_variation_topk_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the driver's 50-entry cap; q01-q04 carry green CORRECTNESS_r03 rows,
 # so pushing them into the overflow keeps union(r03, r04) = full registry.
 # ---------------------------------------------------------------------------
-# ---------------------------------------------------------------------------
 @register(
     "q01_pricing_summary",
     oracle="""

@@ -576,6 +576,10 @@ def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     sp = d.select("doc_id", F.explode(spans).alias("span_h"))
+    # both the corpus-wide frequency table and the per-doc probe read
+    # the exploded spans; persist so tokenize+explode runs once, not
+    # twice (released by the registry wrapper's clearCache)
+    sp.persist()
     freq = sp.groupBy("span_h").agg(F.count(F.lit(1)).alias("c"))
     pd_ = (
         sp.join(freq, "span_h")
