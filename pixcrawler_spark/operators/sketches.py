@@ -73,25 +73,36 @@ HLL_RHO_MAX = HLL_REM_BITS + 1  # rem == 0 -> rho = 52
 HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
 
 
+def hll_bucket(key: Column) -> Column:
+    """Register index: top p bits of the hash, via integer shift —
+    float division would lose precision above 2^53 on a 60-bit hash."""
+    return F.shiftright(h60(key), HLL_REM_BITS)
+
+
+def hll_rho(key: Column) -> Column:
+    """Leading-zero run length + 1 of the 51-bit remainder.
+    rho = 52 - bitlength(rem); bin() gives the minimal binary string."""
+    rem = h60(key) % F.lit(HLL_REM_MOD)
+    return F.when(rem == 0, F.lit(HLL_RHO_MAX)).otherwise(
+        F.lit(HLL_RHO_MAX) - F.length(F.bin(rem))
+    )
+
+
 def hll_registers(df: DataFrame, group_cols: list[str], key: Column) -> DataFrame:
     """Per-group HLL registers: (group, bucket, rho=max leading-run).
 
     ``max(rho)`` is the whole state update — associative, so Catalyst
     plans it as partial_max (map-side) + final_max: the only shuffled
-    rows are the <= m register rows per group.
+    rows are the <= m register rows per group. The same shape works as
+    a Structured Streaming stateful aggregation (ONE agg, bounded
+    state) — see streaming/ingest.py windowed_hll_registers.
     """
-    hv = h60(key)
-    # top p bits via integer shift — float division would lose
-    # precision above 2^53 on the 60-bit hash
-    bucket = F.shiftright(hv, HLL_REM_BITS).alias("bucket")
-    rem = hv % F.lit(HLL_REM_MOD)
-    # rho = (# leading zeros in the 51-bit remainder) + 1
-    #     = 52 - bitlength(rem);  bin() gives the minimal binary string.
-    rho = F.when(rem == 0, F.lit(HLL_RHO_MAX)).otherwise(
-        F.lit(HLL_RHO_MAX) - F.length(F.bin(rem))
-    )
     return (
-        df.select(*group_cols, bucket, rho.alias("rho"))
+        df.select(
+            *group_cols,
+            hll_bucket(key).alias("bucket"),
+            hll_rho(key).alias("rho"),
+        )
         .groupBy(*group_cols, "bucket")
         .agg(F.max("rho").alias("rho"))
     )

@@ -70,6 +70,42 @@ def windowed_lang_metrics(
     )
 
 
+def windowed_hll_registers(
+    pages: DataFrame, watermark: str = "1 hour", window: str = "1 day"
+) -> DataFrame:
+    """Streaming distinct-url telemetry WITHOUT exact-distinct state.
+
+    Maintains per-window HyperLogLog registers (operators/sketches.py)
+    as a single watermarked stateful aggregation: state per window is
+    at most m=512 (bucket, max-rho) rows no matter how many urls the
+    window saw — vs ``dropDuplicates`` whose state grows with every
+    distinct url. The estimate itself is folded at READ time
+    (``sketches.hll_estimate`` over the sink, grouped by window),
+    keeping the stream to one aggregation as Structured Streaming
+    requires, and because registers are max-merged the streaming
+    result is IDENTICAL to the batch registers over the same data
+    (asserted in tests/test_streaming.py).
+    """
+    from pixcrawler_spark.operators import sketches as sk
+
+    return (
+        pages.withWatermark("warc_ts", watermark)
+        .select(
+            F.window("warc_ts", window).alias("w"),
+            sk.hll_bucket(F.col("url")).alias("bucket"),
+            sk.hll_rho(F.col("url")).alias("rho"),
+        )
+        .groupBy("w", "bucket")
+        .agg(F.max("rho").alias("rho"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "bucket",
+            "rho",
+        )
+    )
+
+
 def stream_unseen_urls(pages: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming URL-seen set: stateful ``dropDuplicates`` on url with
     a watermark bound on state (the streaming analog of the batch

@@ -145,3 +145,61 @@ def test_politeness_bucket_stream_state(spark, tmp_path):
     assert got["b1"] is True
     # the two extra dA candidates were deferred
     assert sum(1 for u, a in got.items() if not a and u.startswith("a")) == 2
+
+
+def test_windowed_hll_matches_batch_and_exact(spark, pages_stream_dir):
+    """Streaming HLL registers == batch registers over the same data
+    (max-merge determinism), and the folded estimate tracks the exact
+    per-window distinct count."""
+    from pixcrawler_spark.operators import sketches as sk
+    from pixcrawler_spark.streaming.ingest import windowed_hll_registers
+
+    src = stream_pages(spark, pages_stream_dir)
+    q = (
+        windowed_hll_registers(src, watermark="1 hour", window="1 day")
+        .writeStream.format("memory")
+        .queryName("hllreg")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = spark.sql("SELECT * FROM hllreg")
+
+    batch = spark.read.parquet(pages_stream_dir).select(
+        F.window("warc_ts", "1 day").alias("w"), "url"
+    ).select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "url",
+    )
+    batch_reg = sk.hll_registers(
+        batch, ["window_start", "window_end"], F.col("url")
+    )
+    # register-level identity: same (window, bucket) -> same rho
+    joined = streamed.join(
+        batch_reg.withColumnRenamed("rho", "rho_b"),
+        ["window_start", "window_end", "bucket"],
+        "full",
+    )
+    assert joined.where(
+        F.col("rho").isNull()
+        | F.col("rho_b").isNull()
+        | (F.col("rho") != F.col("rho_b"))
+    ).count() == 0
+
+    est = {
+        (r["window_start"], r["window_end"]): r["hll_distinct"]
+        for r in sk.hll_estimate(
+            streamed, ["window_start", "window_end"]
+        ).collect()
+    }
+    exact = {
+        (r["window_start"], r["window_end"]): r["c"]
+        for r in batch.groupBy("window_start", "window_end")
+        .agg(F.countDistinct("url").alias("c"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for k, e in est.items():
+        assert abs(e - exact[k]) / exact[k] < 0.15, (k, e, exact[k])
