@@ -133,3 +133,20 @@ def parse_robots(
         dis_paths.alias("disallow_prefixes"),
         delay.alias("crawl_delay_s"),
     )
+
+
+def sitemap_urls(body_col: Column) -> Column:
+    """All ``Sitemap:`` directive urls from a robots body (RFC 9309 §2.3
+    treats them as non-group records: they apply regardless of which
+    user-agent group they appear inside, so extraction scans EVERY
+    cleaned line, not just the ``*`` group). Pure JVM array exprs.
+
+    Reference analog: none — the reference never reads robots.txt at
+    all; sitemap discovery is the standard seed source a web-scale
+    frontier adds next to SERP seeding (plans/seeding.py).
+    """
+    lines = _clean_lines(F.coalesce(body_col, F.lit("")))
+    maps = F.filter(lines, lambda l: F.lower(l).rlike(r"^sitemap\s*:"))
+    return F.transform(
+        maps, lambda l: F.trim(F.regexp_replace(l, r"(?i)^sitemap\s*:", ""))
+    )

@@ -695,3 +695,153 @@ def sample_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kept_tokens",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# crawl_budget_waterfill — max-min fair per-domain fetch budget
+# ---------------------------------------------------------------------------
+WATERFILL_BUDGET = 6000  # global fetches per round (< total demand)
+
+
+@register(
+    "crawl_budget_waterfill",
+    oracle=f"""
+    WITH dem AS (
+      SELECT 'site' || CAST(o_orderkey % 97 AS VARCHAR) AS domain,
+             COUNT(*)::BIGINT AS demand
+      FROM orders GROUP BY 1
+    ),
+    ranked AS (
+      SELECT domain, demand,
+             SUM(demand) OVER (ORDER BY demand, domain
+                               ROWS UNBOUNDED PRECEDING) AS cum,
+             ROW_NUMBER() OVER (ORDER BY demand, domain) AS idx,
+             COUNT(*) OVER () AS n
+      FROM dem
+    ),
+    -- a domain is fully satisfiable iff giving it (and everything
+    -- after it, which demands at least as much) its full demand still
+    -- fits: demand*(n-idx+1) + (cum-demand) <= B  (exact integers)
+    flagged AS (
+      SELECT *,
+             demand * (n - idx + 1) + (cum - demand) <= {WATERFILL_BUDGET}
+               AS satisfied
+      FROM ranked
+    ),
+    lvl AS (
+      SELECT SUM(CASE WHEN satisfied THEN demand ELSE 0 END) AS s,
+             SUM(CASE WHEN satisfied THEN 1 ELSE 0 END) AS k,
+             MAX(n) AS n_tot
+      FROM flagged
+    )
+    SELECT domain, demand, satisfied,
+           ROUND(CASE WHEN satisfied THEN demand::DOUBLE
+                      ELSE ({WATERFILL_BUDGET} - s)::DOUBLE / (n_tot - k)
+                 END, 4) AS allocated
+    FROM flagged, lvl
+    """,
+    doc=f"Water-filling (max-min fair) allocation of a global "
+    f"{WATERFILL_BUDGET}-fetch round budget across domain queues: "
+    "small queues get their full demand, the rest share the remainder "
+    "at a common water level — the budget assignment a politeness-"
+    "bounded frontier makes each round. The satisfied/level split is "
+    "computed in EXACT integer arithmetic (one window over the "
+    "domain-count frame, which is bounded by #domains, never #urls).",
+)
+def crawl_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    dem = o.groupBy(
+        F.concat(F.lit("site"), (F.col("o_orderkey") % 97).cast("string")).alias(
+            "domain"
+        )
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("demand"))
+    # global window over the DOMAIN frame: rows = distinct domains (a
+    # politeness-bounded crawl has 10^6-10^8 of them, not 10^10) —
+    # single-partition sort of a bounded dim, not of the url corpus
+    w = Window.orderBy("demand", "domain")
+    ranked = dem.select(
+        "domain",
+        "demand",
+        F.sum("demand").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.row_number().over(w).alias("idx"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    flagged = ranked.withColumn(
+        "satisfied",
+        F.col("demand") * (F.col("n") - F.col("idx") + 1)
+        + (F.col("cum") - F.col("demand"))
+        <= F.lit(WATERFILL_BUDGET),
+    )
+    lvl = flagged.agg(
+        F.sum(F.when(F.col("satisfied"), F.col("demand")).otherwise(0)).alias("s"),
+        F.sum(F.when(F.col("satisfied"), 1).otherwise(0)).alias("k"),
+        F.max("n").alias("n_tot"),
+    )
+    return flagged.crossJoin(F.broadcast(lvl)).select(
+        "domain",
+        "demand",
+        "satisfied",
+        F.round(
+            F.when(F.col("satisfied"), F.col("demand").cast("double")).otherwise(
+                (F.lit(WATERFILL_BUDGET) - F.col("s")).cast("double")
+                / (F.col("n_tot") - F.col("k"))
+            ),
+            4,
+        ).alias("allocated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# crawl_sitemap_extract — Sitemap: directives from robots bodies
+# ---------------------------------------------------------------------------
+@register(
+    "crawl_sitemap_extract",
+    oracle="""
+    WITH src AS (SELECT DISTINCT source FROM documents)
+    SELECT source AS domain,
+           CAST(1 + length(source) % 2 AS BIGINT) AS n_sitemaps,
+           'https://' || source || '.example/sitemap0.xml' AS first_sitemap
+    FROM src
+    """,
+    doc="Sitemap-directive extraction from robots.txt (RFC 9309 §2.3 "
+    "non-group records: they count from ANY user-agent group, which "
+    "the synthesized bodies exercise by placing one inside the "
+    "googlebot group). Bodies are synthesized per domain by a "
+    "deterministic rule; the engine PARSES them with pure JVM array "
+    "exprs (operators/robots.py sitemap_urls) and the oracle states "
+    "the expected outcome from the same rule. Sitemap discovery is "
+    "the frontier's second seed source next to SERP seeding.",
+)
+def crawl_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pixcrawler_spark.operators.robots import sitemap_urls
+
+    d = load_table(spark, sf_dir, "documents").select("source").distinct()
+    # deterministic body: sitemap0 sits INSIDE the googlebot group (it
+    # must still be extracted — non-group record); domains with odd
+    # name length get a second one after the * group
+    base = F.concat(
+        F.lit("User-agent: googlebot\nDisallow: /\nSitemap: https://"),
+        F.col("source"),
+        F.lit(".example/sitemap0.xml\nUser-agent: *\nDisallow: /tmp/\n"),
+    )
+    body = F.when(
+        F.length("source") % 2 == 1,
+        F.concat(
+            base,
+            F.lit("Sitemap: https://"),
+            F.col("source"),
+            F.lit(".example/sitemap1.xml\n"),
+        ),
+    ).otherwise(base)
+    maps = sitemap_urls(body)
+    return d.select(
+        F.col("source").alias("domain"),
+        F.size(maps).cast("bigint").alias("n_sitemaps"),
+        F.element_at(maps, 1).alias("first_sitemap"),
+    )

@@ -192,3 +192,39 @@ def test_mixture_respects_budget_direction(spark, sf_dir):
         assert r["kept_tokens"] <= r["total_tokens"]
         if r["sample_rate"] >= 1.0:
             assert r["kept_docs"] == r["n_docs"]
+
+
+def test_waterfill_invariants(spark, sf_dir):
+    from pixcrawler_spark.queries.roundfive import WATERFILL_BUDGET
+
+    rows = REGISTRY["crawl_budget_waterfill"].fn(spark, sf_dir).collect()
+    assert len(rows) > 0
+    total_demand = sum(r["demand"] for r in rows)
+    total_alloc = sum(r["allocated"] for r in rows)
+    unsat = [r for r in rows if not r["satisfied"]]
+    if total_demand <= WATERFILL_BUDGET:
+        assert not unsat
+        assert all(r["allocated"] == r["demand"] for r in rows)
+    else:
+        assert unsat
+        # allocations exhaust the budget (up to the 4-dp rounding)
+        assert abs(total_alloc - WATERFILL_BUDGET) < 0.001 * len(rows)
+        level = unsat[0]["allocated"]
+        # max-min fairness: one common water level for the unsatisfied,
+        # and every fully-granted demand sits at or below it
+        assert all(r["allocated"] == level for r in unsat)
+        assert all(
+            r["demand"] <= level + 1e-9 for r in rows if r["satisfied"]
+        )
+        assert all(r["allocated"] <= r["demand"] for r in rows)
+
+
+def test_sitemap_extract_counts(spark, sf_dir):
+    rows = REGISTRY["crawl_sitemap_extract"].fn(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        # one sitemap inside the googlebot group (always extracted —
+        # non-group record), plus one more for odd-length domains
+        assert r["n_sitemaps"] == 1 + len(r["domain"]) % 2
+        assert r["first_sitemap"].endswith("/sitemap0.xml")
+        assert r["first_sitemap"].startswith(f"https://{r['domain']}.")
