@@ -21,7 +21,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, StringType
+from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
 # Oracle regexes (bytes-level, DOTALL so truncated/corrupted html still
 # yields a deterministic result).
@@ -96,3 +96,42 @@ def map_in_pandas_extract(df, html_col: str = "html"):
             yield pdf
 
     return df.mapInPandas(gen, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Anchor-text extraction (href + link text pairs)
+# ---------------------------------------------------------------------------
+# The web-graph relevance signal outlink extraction drops: WHAT the
+# linking page calls the target. Same oracle/UDF discipline as above.
+_ANCHOR_RE = re.compile(rb'<a href="([^"]*)"[^>]*>(.*?)</a>', re.DOTALL)
+
+
+def extract_anchors_py(html: bytes | None) -> list[dict] | None:
+    """Anchor oracle: (href, anchor text) per <a>...</a>, document
+    order, duplicates preserved. None html (fetch failure) → None."""
+    if html is None:
+        return None
+    return [
+        {
+            "href": h.decode("utf-8", errors="replace"),
+            "anchor": a.decode("utf-8", errors="replace"),
+        }
+        for h, a in _ANCHOR_RE.findall(html)
+    ]
+
+
+def _extract_anchors_batch(s: pd.Series) -> pd.Series:
+    return s.map(extract_anchors_py)
+
+
+extract_anchors_udf = F.pandas_udf(
+    _extract_anchors_batch,
+    ArrayType(
+        StructType(
+            [
+                StructField("href", StringType()),
+                StructField("anchor", StringType()),
+            ]
+        )
+    ),
+)

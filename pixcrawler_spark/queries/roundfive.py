@@ -1,19 +1,24 @@
 """Round-4 (late) queries: sketches, recrawl scheduling, trap detection,
-span-level dedup, corpus-mixture sampling.
+span-level dedup, corpus-mixture sampling, budget water-filling,
+sitemap extraction, anchor-text aggregation.
 
-The telemetry + curation layer of a 10^10-url crawl: cardinality and
-frequency WITHOUT exact-distinct shuffles (HLL / CMS / KMV, all
-mergeable partial aggregates with *bit-exact* cross-engine oracles —
-see operators/sketches.py), the recrawl economics the reference's
-fixed retry ladder lacks (Cho & Garcia-Molina change-rate estimation),
-crawler-trap heuristics over raw urls, Lee-et-al-style duplicated
-token-span measurement, and deterministic hash sampling to per-lang
-token budgets (dataset mixture curation).
+The telemetry + curation + scheduling layer of a 10^10-url crawl:
+cardinality and frequency WITHOUT exact-distinct shuffles (HLL / CMS /
+KMV, all mergeable partial aggregates with *bit-exact* cross-engine
+oracles — see operators/sketches.py), the recrawl economics the
+reference's fixed retry ladder lacks (Cho & Garcia-Molina change-rate
+estimation), crawler-trap heuristics over raw urls, Lee-et-al-style
+duplicated token-span measurement, deterministic hash sampling to
+per-lang token budgets (dataset mixture curation), max-min fair
+per-domain budget allocation, robots Sitemap: discovery, and
+per-target anchor-text aggregation over parsed html.
 
-Registered FIRST (queries/__init__.py) so all seven land inside the
-driver's 50-entry correctness window; the seven analytics/advanced
-queries they displace (q03, q04, q21-q25) all carry green
-CORRECTNESS_r03 rows, so union(r03, r04) still covers the registry.
+Registered FIRST (queries/__init__.py) so the first nine land inside
+the driver's 50-entry correctness window; the nine analytics/advanced
+queries they displace (q01-q04, q21-q25) all carry green
+CORRECTNESS_r03 rows, so union(r03, r04) still covers everything but
+graph_anchor_text (added after the window filled with no-prior-row
+queries; pytest-oracle-verified, flagged for the r05 rotation).
 
 Reference analogs: the retry ladder + per-keyword progress tracking in
 builder/core (fixed backoff, exact Python set sizes) and the
@@ -844,4 +849,78 @@ def crawl_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source").alias("domain"),
         F.size(maps).cast("bigint").alias("n_sitemaps"),
         F.element_at(maps, 1).alias("first_sitemap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_anchor_text — per-target anchor-text aggregation over REAL html
+# ---------------------------------------------------------------------------
+# Registered past the 50-entry driver window (the window is exactly
+# full with queries that have no earlier driver row); pytest-oracle-
+# verified this round, and the r05 rotation should move it inside.
+@register(
+    "graph_anchor_text",
+    oracle="""
+    WITH n AS (SELECT COUNT(*) AS c FROM documents),
+    links AS (
+      SELECT doc_id AS src, (7 * doc_id + 1) % c AS tgt FROM documents, n
+      UNION ALL
+      SELECT doc_id, (13 * doc_id + 2) % c FROM documents, n
+    )
+    SELECT 'https://ex.com/d' || CAST(tgt AS VARCHAR) AS target_url,
+           COUNT(*)::BIGINT AS n_refs,
+           COUNT(DISTINCT src)::BIGINT AS n_sources,
+           MIN('kw' || CAST(src % 3 AS VARCHAR) || '-'
+               || CAST(tgt % 17 AS VARCHAR)) AS top_anchor
+    FROM links GROUP BY tgt
+    """,
+    doc="Per-target anchor-text aggregation — the web-graph relevance "
+    "signal (what linking pages CALL a url, the classic ranking/"
+    "labeling feature outlink extraction drops). Each doc's html is "
+    "synthesized by a deterministic rule, the engine PARSES it with "
+    "the Arrow anchor UDF (functions/text.py extract_anchors_py "
+    "oracle discipline) and aggregates by target; the SQL oracle "
+    "states the expected graph from the same rule WITHOUT parsing, "
+    "so the extraction is earned. Scale: one explode of ~links/page "
+    "rows, one target-keyed agg (uniform key: target ids), no joins.",
+)
+def graph_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pixcrawler_spark.functions.text import extract_anchors_udf
+
+    d = load_table(spark, sf_dir, "documents")
+    n = d.agg(F.count(F.lit(1)).alias("c"))
+    withn = d.select("doc_id").crossJoin(F.broadcast(n))
+    t1 = (7 * F.col("doc_id") + 1) % F.col("c")
+    t2 = (13 * F.col("doc_id") + 2) % F.col("c")
+
+    def a_tag(tgt: Column) -> Column:
+        return F.concat(
+            F.lit('<a href="https://ex.com/d'),
+            tgt.cast("string"),
+            F.lit('" rel="x">kw'),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit("-"),
+            (tgt % 17).cast("string"),
+            F.lit("</a>"),
+        )
+
+    html = F.concat(
+        F.lit("<html><title>t</title><p>body</p>"),
+        a_tag(t1),
+        F.lit("<p>mid</p>"),
+        a_tag(t2),
+        F.lit("</html>"),
+    ).cast("binary")
+    pages = withn.select("doc_id", html.alias("html"))
+    anchors = pages.select(
+        "doc_id", F.explode(extract_anchors_udf(F.col("html"))).alias("a")
+    ).select(
+        F.col("doc_id").alias("src"),
+        F.col("a.href").alias("target_url"),
+        F.col("a.anchor").alias("anchor"),
+    )
+    return anchors.groupBy("target_url").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_refs"),
+        F.countDistinct("src").cast("bigint").alias("n_sources"),
+        F.min("anchor").alias("top_anchor"),
     )

@@ -228,3 +228,40 @@ def test_sitemap_extract_counts(spark, sf_dir):
         assert r["n_sitemaps"] == 1 + len(r["domain"]) % 2
         assert r["first_sitemap"].endswith("/sitemap0.xml")
         assert r["first_sitemap"].startswith(f"https://{r['domain']}.")
+
+
+def test_extract_anchors_oracle_and_udf(spark):
+    from pixcrawler_spark.functions.text import (
+        extract_anchors_py,
+        extract_anchors_udf,
+    )
+
+    cases = [
+        (None, None),
+        (b"<html>no links</html>", []),
+        (b'<a href="u1">one</a>', [{"href": "u1", "anchor": "one"}]),
+        # attributes after href, multiline anchor, duplicates preserved
+        (
+            b'<a href="u1" rel="nofollow">a\nb</a><a href="u1">c</a>',
+            [
+                {"href": "u1", "anchor": "a\nb"},
+                {"href": "u1", "anchor": "c"},
+            ],
+        ),
+        # unterminated anchor -> no match (deterministic on truncation)
+        (b'<a href="u2">dangling', []),
+    ]
+    for html, want in cases:
+        assert extract_anchors_py(html) == want, html
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)], "i int, html binary"
+    )
+    got = {
+        r["i"]: r["a"]
+        for r in df.select("i", extract_anchors_udf("html").alias("a")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        if want is None:
+            assert got[i] is None
+        else:
+            assert [{"href": x["href"], "anchor": x["anchor"]} for x in got[i]] == want
