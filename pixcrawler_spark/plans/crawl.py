@@ -145,6 +145,17 @@ class CrawlConfig:
     use_bloom: bool = False
     salt_buckets: int = 1
     seed: int = 42
+    # Per-round HLL registers of decided urls per fetch decision
+    # (operators/sketches.py, fast xxhash64 path), committed next to
+    # the metrics row. OFF by default: the golden/oracle surface is
+    # byte-identical with the flag off; ON adds one ≤512×decisions-row
+    # agg over the already-evaluated round log and a driver-side
+    # append. Registers merge by max(rho) at read time, so
+    # ``distinct_url_estimates()`` answers "how many DISTINCT urls has
+    # this crawl decided per outcome" over any round range without
+    # rescanning results — the telemetry the reference keeps as exact
+    # Python sets (builder/progress.py), with fixed-size state.
+    sketch_telemetry: bool = False
     # Retry ladder (reference: Retry.retry_download + ALTERNATING
     # engine strategy, builder/_generator.py:237-341): a fetch_failed
     # url with retry_count < max_retries is re-enqueued for the next
@@ -587,6 +598,8 @@ class CrawlEngine:
             return self._finalize_metrics(round_no)
         self.store.drop_tagged("results", {f"round-{round_no}"})
         self.store.drop_tagged("metrics", {f"round-{round_no}"})
+        if self.store.exists("sketch_registers"):
+            self.store.drop_tagged("sketch_registers", {f"round-{round_no}"})
         if self.store.exists("seen"):
             mx = self.store.column_max("seen", "completed_round")
             if mx is not None and int(mx) >= round_no:
@@ -635,7 +648,8 @@ class CrawlEngine:
         n_disc_raw = int(self._delta_expr(log, round_no).count())
         n_disc_new = self._count_disc_new(log, round_no)
         return self._commit_metrics(
-            round_no, per_part, n_frontier, n_disc_raw, n_disc_new, wall=0.0
+            round_no, per_part, n_frontier, n_disc_raw, n_disc_new,
+            wall=0.0, log=log,
         )
 
     def _count_disc_new(self, log: DataFrame, round_no: int) -> int:
@@ -889,7 +903,8 @@ class CrawlEngine:
         wall = time.monotonic() - t0
         tombstone_ratio = n_tombstones / n_base if n_base > 0 else 0.0
         summary = self._commit_metrics(
-            round_no, per_part, n_frontier, n_disc_raw, n_disc_new, wall
+            round_no, per_part, n_frontier, n_disc_raw, n_disc_new, wall,
+            log=log,
         )
         summary["tombstone_ratio"] = round(tombstone_ratio, 4)
         # 5. compaction (idempotent; outside the recovery-critical
@@ -954,6 +969,43 @@ class CrawlEngine:
             "frontier_removed", empty_removed, bucket=self._bucket
         )
 
+    def _commit_sketch_registers(self, round_no: int, log: DataFrame) -> None:
+        """HLL registers of this round's decided urls per fetch
+        decision (cfg.sketch_telemetry). One small agg over the
+        already-evaluated round log — ≤ 512 × decisions rows — then a
+        driver-side pyarrow append tagged like the metrics row, so
+        crash recovery rolls both back together."""
+        from pixcrawler_spark.operators import sketches as sk
+        from pixcrawler_spark.schemas import SKETCH_REGISTERS_SCHEMA
+
+        regs = sk.hll_registers(
+            log, ["fetch_decision"], F.col("url"), fast=True
+        ).collect()
+        rows = [
+            (round_no, r["fetch_decision"], int(r["bucket"]), int(r["rho"]))
+            for r in regs
+        ]
+        if rows:
+            self.store.append_local(
+                "sketch_registers",
+                rows,
+                SKETCH_REGISTERS_SCHEMA,
+                tag=f"round-{round_no}",
+            )
+
+    def distinct_url_estimates(self) -> DataFrame:
+        """Cumulative DISTINCT decided urls per fetch decision across
+        all rounds, folded from the stored registers (max-merge) —
+        never rescans results. Requires cfg.sketch_telemetry runs."""
+        from pixcrawler_spark.operators import sketches as sk
+        from pixcrawler_spark.schemas import SKETCH_REGISTERS_SCHEMA
+
+        regs = self.store.read("sketch_registers", SKETCH_REGISTERS_SCHEMA)
+        merged = regs.groupBy("fetch_decision", "bucket").agg(
+            F.max("rho").alias("rho")
+        )
+        return sk.hll_estimate(merged, ["fetch_decision"])
+
     def _commit_metrics(
         self,
         round_no: int,
@@ -962,6 +1014,7 @@ class CrawlEngine:
         n_disc_raw: int,
         n_disc_new: int,
         wall: float,
+        log: DataFrame | None = None,
     ) -> dict:
         n_decided = sum(r["n_processed"] for r in per_part)
         n_denied = sum(r["n_robots_denied"] for r in per_part)
@@ -1002,6 +1055,8 @@ class CrawlEngine:
         self.store.append_local(
             "metrics", metrics_rows, METRICS_SCHEMA, tag=f"round-{round_no}"
         )
+        if log is not None and self.config.sketch_telemetry:
+            self._commit_sketch_registers(round_no, log)
         return {
             "round": round_no,
             "n_frontier": n_frontier,
@@ -1146,6 +1201,8 @@ class CrawlEngine:
         tags = {f"round-{r}" for r in range(from_round, cur + 1)}
         self.store.drop_tagged("results", tags)
         self.store.drop_tagged("metrics", tags)
+        if self.store.exists("sketch_registers"):
+            self.store.drop_tagged("sketch_registers", tags)
         clean_seen = self.store.read("seen", SEEN_SCHEMA).where(
             F.col("completed_round") < from_round
         )

@@ -924,3 +924,90 @@ def graph_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("src").cast("bigint").alias("n_sources"),
         F.min("anchor").alias("top_anchor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sketch_histogram_quantiles — mergeable fixed-bin quantile estimates
+# ---------------------------------------------------------------------------
+HIST_BINS = 256
+HIST_MAX = 512.0  # events.value ranges 0..~490; one fixed bin width
+HIST_W = HIST_MAX / HIST_BINS
+
+
+@register(
+    "sketch_histogram_quantiles",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type,
+             least(CAST(floor(value / {HIST_W!r}) AS BIGINT),
+                   {HIST_BINS - 1}) AS bin
+      FROM events
+    ),
+    h AS (
+      SELECT event_type, bin, COUNT(*)::BIGINT AS c
+      FROM b GROUP BY event_type, bin
+    ),
+    cum AS (
+      SELECT event_type, bin, c,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY bin
+                          ROWS UNBOUNDED PRECEDING) AS cc,
+             SUM(c) OVER (PARTITION BY event_type) AS n
+      FROM h
+    )
+    SELECT event_type, MAX(n)::BIGINT AS n,
+           ROUND(MIN(CASE WHEN cc >= 0.50 * n
+                 THEN (bin + 1) * {HIST_W!r} END), 4) AS p50_est,
+           ROUND(MIN(CASE WHEN cc >= 0.95 * n
+                 THEN (bin + 1) * {HIST_W!r} END), 4) AS p95_est,
+           ROUND(MIN(CASE WHEN cc >= 0.99 * n
+                 THEN (bin + 1) * {HIST_W!r} END), 4) AS p99_est
+    FROM cum GROUP BY event_type
+    """,
+    doc=f"Mergeable quantile telemetry: a fixed {HIST_BINS}-bin "
+    "histogram per group (SUM-combinable — the same partial-agg shape "
+    "as CMS), quantiles read as the upper edge of the first bin whose "
+    "cumulative count crosses the rank. Per-domain latency/size "
+    "percentiles for the fetch scheduler without an exact sort: the "
+    "shuffle carries <= groups x 256 counter rows, and two rounds' "
+    "histograms ADD where exact percentiles cannot merge. Estimate "
+    "error is bounded by one bin width "
+    f"({HIST_W!r} here); registered past the driver window "
+    "(pytest-oracle-verified; r05 rotation candidate).",
+)
+def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bin_ = F.least(
+        F.floor(F.col("value") / HIST_W).cast("bigint"),
+        F.lit(HIST_BINS - 1),
+    )
+    h = ev.select("event_type", bin_.alias("bin")).groupBy(
+        "event_type", "bin"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    from pyspark.sql import Window
+
+    wt = Window.partitionBy("event_type")
+    wc = wt.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = h.select(
+        "event_type",
+        "bin",
+        F.sum("c").over(wc).alias("cc"),
+        F.sum("c").over(wt).alias("n"),
+    )
+
+    def q(p: float) -> Column:
+        return F.round(
+            F.min(
+                F.when(
+                    F.col("cc") >= F.lit(p) * F.col("n"),
+                    (F.col("bin") + 1) * F.lit(HIST_W),
+                )
+            ),
+            4,
+        )
+
+    return cum.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        q(0.50).alias("p50_est"),
+        q(0.95).alias("p95_est"),
+        q(0.99).alias("p99_est"),
+    )

@@ -186,3 +186,18 @@ MEDIA_SCHEMA = StructType(
         StructField("is_valid", BooleanType(), True),
     ]
 )
+
+
+# Per-round HyperLogLog registers of decided urls, grouped by fetch
+# decision (plans/crawl.py sketch telemetry, cfg.sketch_telemetry).
+# Registers are STORED rather than estimates so rounds merge by
+# max(rho) at read time — cumulative distinct counts across any round
+# range without rescanning results.
+SKETCH_REGISTERS_SCHEMA = StructType(
+    [
+        StructField("round", IntegerType(), False),
+        StructField("fetch_decision", StringType(), False),
+        StructField("bucket", LongType(), False),
+        StructField("rho", IntegerType(), False),
+    ]
+)

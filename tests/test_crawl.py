@@ -425,3 +425,47 @@ def test_multi_round_soak_invariants(spark, tmp_path):
     assert nf == frontier.select("url").distinct().count()
     assert nr == results.select("url").distinct().count()
     assert ns == nr
+
+
+def test_sketch_telemetry_registers(
+    spark, fixture_dir, tmp_path_factory, seeds, engine_run
+):
+    """cfg.sketch_telemetry=True commits per-round HLL registers next
+    to the metrics row; the folded estimate tracks the exact distinct
+    decided-url count per fetch decision. Default runs (engine_run)
+    must not create the table at all."""
+    eng_base, _ = engine_run
+    assert not eng_base.store.exists("sketch_registers")
+
+    eng = _mk_engine(
+        spark,
+        fixture_dir,
+        tmp_path_factory.mktemp("store_sketch"),
+        seeds,
+        sketch_telemetry=True,
+    )
+    eng.run()
+    assert eng.store.exists("sketch_registers")
+    regs = eng.store.read("sketch_registers")
+    n_rounds = regs.select("round").distinct().count()
+    assert n_rounds >= 2  # one commit per executed round
+    est = {
+        r["fetch_decision"]: r["hll_distinct"]
+        for r in eng.distinct_url_estimates().collect()
+    }
+    exact = {
+        r["fetch_decision"]: r["c"]
+        for r in eng.store.read("results")
+        .groupBy("fetch_decision")
+        .agg(F.countDistinct("url").alias("c"))
+        .collect()
+    }
+    # results only holds final (non-retry) decisions; every decision
+    # recorded there must have a register group with a sane estimate
+    for decision, c in exact.items():
+        assert decision in est, (decision, est)
+        if c >= 20:
+            assert abs(est[decision] - c) / c < 0.25, (decision, est[decision], c)
+    # the decisions log can contain more outcomes (retries) than
+    # results — estimates must exist and be positive for all groups
+    assert all(v > 0 for v in est.values())
