@@ -1006,6 +1006,33 @@ class CrawlEngine:
         )
         return sk.hll_estimate(merged, ["fetch_decision"])
 
+    def compact_sketch_registers(self, upto_round: int) -> None:
+        """Fold all register rows with round <= upto_round into one
+        baseline row set stamped round=upto_round (max-merge is
+        associative, so folded-then-merged estimates are IDENTICAL to
+        unfolded — asserted in tests). Bounds the table at
+        512 x decisions x (baseline + recent rounds) instead of
+        growing per round forever; like the snapshot-expiration
+        maintenance pass, run it only for rounds OLDER than the crash-
+        recovery horizon (the current round's tagged rows must stay
+        individually droppable)."""
+        from pixcrawler_spark.schemas import SKETCH_REGISTERS_SCHEMA
+
+        regs = self.store.read("sketch_registers", SKETCH_REGISTERS_SCHEMA)
+        old = regs.where(F.col("round") <= upto_round)
+        folded = old.groupBy("fetch_decision", "bucket").agg(
+            F.max("rho").alias("rho")
+        ).select(
+            F.lit(upto_round).cast("int").alias("round"),
+            "fetch_decision",
+            "bucket",
+            "rho",
+        )
+        keep = regs.where(F.col("round") > upto_round)
+        self.store.overwrite(
+            "sketch_registers", folded.unionByName(keep)
+        )
+
     def _commit_metrics(
         self,
         round_no: int,

@@ -469,3 +469,39 @@ def test_sketch_telemetry_registers(
     # the decisions log can contain more outcomes (retries) than
     # results — estimates must exist and be positive for all groups
     assert all(v > 0 for v in est.values())
+
+
+def test_sketch_register_compaction(
+    spark, fixture_dir, tmp_path_factory, seeds
+):
+    """Folding old rounds' registers into a baseline is lossless for
+    the estimates (max-merge associativity) and shrinks the table."""
+    eng = _mk_engine(
+        spark,
+        fixture_dir,
+        tmp_path_factory.mktemp("store_sketch_compact"),
+        seeds,
+        sketch_telemetry=True,
+    )
+    eng.run()
+    before = {
+        r["fetch_decision"]: r["hll_distinct"]
+        for r in eng.distinct_url_estimates().collect()
+    }
+    n_before = eng.store.count("sketch_registers")
+    max_round = eng.store.read("sketch_registers").agg(
+        F.max("round")
+    ).collect()[0][0]
+    eng.compact_sketch_registers(upto_round=max_round - 1)
+    after = {
+        r["fetch_decision"]: r["hll_distinct"]
+        for r in eng.distinct_url_estimates().collect()
+    }
+    n_after = eng.store.count("sketch_registers")
+    assert after == before  # bit-identical estimates
+    assert n_after <= n_before
+    rounds = {
+        r["round"]
+        for r in eng.store.read("sketch_registers").select("round").distinct().collect()
+    }
+    assert rounds <= {max_round - 1, max_round}
