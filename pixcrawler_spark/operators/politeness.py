@@ -119,3 +119,65 @@ def admit(
     return candidates.withColumn(
         "priority_rank", F.row_number().over(w)
     ).withColumn("admitted", F.col("priority_rank") <= capacity_expr(round_len_s))
+
+
+def waterfill_allocate(
+    demands: DataFrame,
+    budget: int,
+    key_col: str = "domain",
+    demand_col: str = "demand",
+) -> DataFrame:
+    """Max-min fair (water-filling) split of a global per-round fetch
+    budget across per-key queues: keys demanding less than the water
+    level get their full demand; the rest share the remainder equally.
+
+    The satisfied/level split is EXACT integer arithmetic — key i
+    (sorted by demand asc) is fully satisfiable iff
+    ``demand_i * (n - i + 1) + cumsum_{i-1} <= budget`` — so the
+    output is deterministic across engines and cluster sizes (the
+    oracle-checked query crawl_budget_waterfill runs through this).
+    One window over the KEY frame (bounded by #domains, never #urls).
+
+    Output: key, demand, satisfied, allocated (4 dp).
+    """
+    w = Window.orderBy(demand_col, key_col)
+    ranked = demands.select(
+        F.col(key_col),
+        F.col(demand_col),
+        F.sum(demand_col)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        F.row_number().over(w).alias("idx"),
+        F.count(F.lit(1))
+        .over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("n"),
+    )
+    flagged = ranked.withColumn(
+        "satisfied",
+        F.col(demand_col) * (F.col("n") - F.col("idx") + 1)
+        + (F.col("cum") - F.col(demand_col))
+        <= F.lit(budget),
+    )
+    lvl = flagged.agg(
+        F.sum(F.when(F.col("satisfied"), F.col(demand_col)).otherwise(0)).alias("s"),
+        F.sum(F.when(F.col("satisfied"), 1).otherwise(0)).alias("k"),
+        F.max("n").alias("n_tot"),
+    )
+    return flagged.crossJoin(F.broadcast(lvl)).select(
+        key_col,
+        demand_col,
+        "satisfied",
+        F.round(
+            F.when(
+                F.col("satisfied"), F.col(demand_col).cast("double")
+            ).otherwise(
+                (F.lit(budget) - F.col("s")).cast("double")
+                / (F.col("n_tot") - F.col("k"))
+            ),
+            4,
+        ).alias("allocated"),
+    )

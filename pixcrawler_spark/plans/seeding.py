@@ -98,3 +98,27 @@ def seeds_from_config(
     pq = per_query if per_query is not None else config.max_images * 3
     q = config_queries(spark, config)
     return serp_urls(pages.select("url"), q, pq).select("url").distinct()
+
+
+def sitemap_seeds(
+    robots_bodies: DataFrame, body_col: str = "robots_txt"
+) -> DataFrame:
+    """Sitemap discovery → seed urls (single ``url`` column).
+
+    The frontier's second seed source next to the SERP bridge: raw
+    robots bodies (domain, robots_txt — the same frame parse_robots
+    consumes) yield their ``Sitemap:`` records (RFC 9309 §2.3,
+    operators/robots.py sitemap_urls — pure array exprs, any UA
+    group). Union with ``seeds_from_config`` and dedup before
+    ``frontier_from``; a narrow map + distinct over a ~1-row-per-
+    domain frame, nothing corpus-sized.
+    """
+    from pixcrawler_spark.operators.robots import sitemap_urls
+
+    return (
+        robots_bodies.select(
+            F.explode(sitemap_urls(F.col(body_col))).alias("url")
+        )
+        .where(F.col("url") != "")
+        .distinct()
+    )

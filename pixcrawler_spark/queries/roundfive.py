@@ -754,7 +754,7 @@ WATERFILL_BUDGET = 6000  # global fetches per round (< total demand)
     "domain-count frame, which is bounded by #domains, never #urls).",
 )
 def crawl_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from pixcrawler_spark.operators.politeness import waterfill_allocate
 
     o = load_table(spark, sf_dir, "orders")
     dem = o.groupBy(
@@ -762,44 +762,11 @@ def crawl_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "domain"
         )
     ).agg(F.count(F.lit(1)).cast("bigint").alias("demand"))
-    # global window over the DOMAIN frame: rows = distinct domains (a
-    # politeness-bounded crawl has 10^6-10^8 of them, not 10^10) —
-    # single-partition sort of a bounded dim, not of the url corpus
-    w = Window.orderBy("demand", "domain")
-    ranked = dem.select(
-        "domain",
-        "demand",
-        F.sum("demand").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
-        F.row_number().over(w).alias("idx"),
-        F.count(F.lit(1)).over(
-            Window.partitionBy().rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("n"),
-    )
-    flagged = ranked.withColumn(
-        "satisfied",
-        F.col("demand") * (F.col("n") - F.col("idx") + 1)
-        + (F.col("cum") - F.col("demand"))
-        <= F.lit(WATERFILL_BUDGET),
-    )
-    lvl = flagged.agg(
-        F.sum(F.when(F.col("satisfied"), F.col("demand")).otherwise(0)).alias("s"),
-        F.sum(F.when(F.col("satisfied"), 1).otherwise(0)).alias("k"),
-        F.max("n").alias("n_tot"),
-    )
-    return flagged.crossJoin(F.broadcast(lvl)).select(
-        "domain",
-        "demand",
-        "satisfied",
-        F.round(
-            F.when(F.col("satisfied"), F.col("demand").cast("double")).otherwise(
-                (F.lit(WATERFILL_BUDGET) - F.col("s")).cast("double")
-                / (F.col("n_tot") - F.col("k"))
-            ),
-            4,
-        ).alias("allocated"),
-    )
+    # the global window inside waterfill_allocate runs over the DOMAIN
+    # frame: rows = distinct domains (a politeness-bounded crawl has
+    # 10^6-10^8 of them, not 10^10) — a single-partition sort of a
+    # bounded dim, not of the url corpus
+    return waterfill_allocate(dem, WATERFILL_BUDGET)
 
 
 # ---------------------------------------------------------------------------

@@ -101,3 +101,29 @@ def test_config_to_crawl_end_to_end(spark, fixture_dir, tmp_path):
     assert summaries and summaries[0]["n_decided"] > 0
     res = store.read("results")
     assert res.where(F.col("round") == 1).count() > 0
+
+
+def test_sitemap_seeds_union_with_serp(spark):
+    from pixcrawler_spark.plans.seeding import sitemap_seeds
+
+    bodies = spark.createDataFrame(
+        [
+            # sitemap inside a specific-UA group still counts (§2.3)
+            ("a.com", "User-agent: googlebot\nDisallow: /\n"
+                      "Sitemap: https://a.com/s1.xml\n"
+                      "User-agent: *\nSitemap: https://a.com/s2.xml\n"),
+            # duplicate record across domains dedups
+            ("b.com", "Sitemap: https://a.com/s1.xml\n"),
+            ("c.com", "User-agent: *\nDisallow: /tmp/\n"),  # none
+            ("d.com", None),  # null body -> none
+        ],
+        "domain string, robots_txt string",
+    )
+    got = {r["url"] for r in sitemap_seeds(bodies).collect()}
+    assert got == {"https://a.com/s1.xml", "https://a.com/s2.xml"}
+    # composes with the SERP seed frame: one distinct url column
+    serp = spark.createDataFrame(
+        [("https://a.com/s2.xml",), ("https://x.com/p",)], "url string"
+    )
+    both = serp.unionByName(sitemap_seeds(bodies)).distinct()
+    assert both.count() == 3

@@ -287,3 +287,38 @@ def test_hll_fast_path_accuracy(spark):
         assert abs(e - exact[flag]) / exact[flag] < 0.14, (flag, e, exact[flag])
     per_group = reg.groupBy("l_returnflag").count().collect()
     assert all(r["count"] <= sk.HLL_M for r in per_group)
+
+
+def test_waterfill_operator_properties(spark):
+    """waterfill_allocate over a range of budgets: conservation
+    (allocations sum to min(budget, total demand)), max-min fairness
+    (unique water level; full grants only below it), monotonicity
+    (bigger budget never shrinks anyone's allocation)."""
+    import pytest
+    from pixcrawler_spark.operators.politeness import waterfill_allocate
+
+    demands = [("d%02d" % i, (i * 7) % 23 + 1) for i in range(30)]
+    dem = spark.createDataFrame(demands, "domain string, demand long")
+    total = sum(d for _, d in demands)
+    prev = None
+    for budget in [1, 37, total // 3, total - 1, total, total + 50]:
+        rows = {r["domain"]: r for r in waterfill_allocate(dem, budget).collect()}
+        alloc = sum(r["allocated"] for r in rows.values())
+        assert alloc == pytest.approx(min(budget, total), abs=0.01 * len(rows))
+        unsat = [r for r in rows.values() if not r["satisfied"]]
+        if budget >= total:
+            assert not unsat
+        else:
+            levels = {r["allocated"] for r in unsat}
+            assert len(levels) == 1
+            level = levels.pop()
+            assert all(
+                r["demand"] <= level + 1e-9
+                for r in rows.values()
+                if r["satisfied"]
+            )
+        for d, r in rows.items():
+            assert r["allocated"] <= r["demand"] + 1e-9
+            if prev is not None:
+                assert r["allocated"] >= prev[d]["allocated"] - 1e-9
+        prev = rows
