@@ -461,67 +461,18 @@ def _trap_variants_spark(k: Column) -> list[Column]:
     "10^10 urls it is a narrow map, no shuffle at all.",
 )
 def crawl_trap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pixcrawler_spark.operators.traps import trap_signals
+
     o = load_table(spark, sf_dir, "orders")
     urls = o.select(
         F.explode(F.array(*_trap_variants_spark(F.col("o_orderkey")))).alias(
             "url"
         )
     )
-    rest = F.regexp_replace("url", r"^https?://[^/]+", "")
-    parsed = urls.select(
-        "url",
-        F.split(rest, r"\?").getItem(0).alias("path"),
-        F.coalesce(F.split(rest, r"\?").getItem(1), F.lit("")).alias("query"),
-    )
-    segd = parsed.select(
-        "url",
-        "query",
-        F.filter(F.split("path", "/"), lambda s: s != "").alias("segs"),
-    )
-    depth = F.size("segs").cast("bigint")
-    n_params = (
-        F.when(F.col("query") == "", F.lit(0))
-        .otherwise(F.size(F.split("query", "&")))
-        .cast("bigint")
-    )
-    has_repeat = F.when(F.size("segs") < 2, F.lit(False)).otherwise(
-        F.array_contains(
-            F.expr(
-                "transform(sequence(1, size(segs) - 1),"
-                " i -> element_at(segs, i) = element_at(segs, i + 1))"
-            ),
-            True,
-        )
-    )
-    has_calendar = F.col("url").rlike("/20[0-9][0-9]/[0-9][0-9]/")
-    has_session = F.lower("url").contains("phpsessid=") | F.lower(
-        "url"
-    ).contains("sessionid=")
-    sig = segd.select(
-        "url",
-        depth.alias("depth"),
-        n_params.alias("n_params"),
-        has_repeat.alias("has_repeat"),
-        has_calendar.alias("has_calendar"),
-        has_session.alias("has_session"),
-    )
-    score = (
-        F.when(F.col("has_session"), 3).otherwise(0)
-        + F.when(F.col("has_repeat"), 2).otherwise(0)
-        + F.when(F.col("has_calendar"), 2).otherwise(0)
-        + F.when(F.col("depth") >= 8, 1).otherwise(0)
-        + F.when(F.col("n_params") >= 4, 1).otherwise(0)
-    ).cast("bigint")
-    return sig.select(
-        "url",
-        "depth",
-        "n_params",
-        "has_repeat",
-        "has_calendar",
-        "has_session",
-        score.alias("trap_score"),
-        (score >= 2).alias("is_trap"),
-    )
+    # signal expressions live in operators/traps.py, which also carries
+    # trap_py — the scalar reference the hypothesis differential fuzz
+    # checks these expressions against on arbitrary url-shaped strings
+    return trap_signals(urls)
 
 
 # ---------------------------------------------------------------------------

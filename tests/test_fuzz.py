@@ -89,3 +89,60 @@ def test_canonicalize_spark_idempotent_on_adversarial_corpus(spark):
     ).collect()
     for r in rows:
         assert r["c1"] == r["c2"], (r["c1"], r["c2"])
+
+
+# ---------------------------------------------------------------------------
+# Trap-signal differential fuzz: the Catalyst expressions in
+# operators/traps.py vs the scalar Python reference trap_py, on
+# arbitrary url-shaped strings (not just the fixture variants).
+# One Spark batch for the whole corpus (per-example Spark jobs would
+# take minutes); hypothesis drives the generation deterministically.
+# ---------------------------------------------------------------------------
+def _urlish(draw):
+    from hypothesis import strategies as st
+
+    scheme = draw(st.sampled_from(["https://", "http://", "", "ftp://"]))
+    host = draw(st.text(
+        alphabet="abcz09.-", min_size=0 if not scheme else 1, max_size=12
+    ))
+    seg = st.text(alphabet="abcx12 .%~_", min_size=0, max_size=6)
+    path = "/".join(draw(st.lists(seg, min_size=0, max_size=10)))
+    q = draw(st.sampled_from([
+        "", "?a=1", "?phpsessid=x&b=2", "?a=1&b=2&c=3&d=4&e=5",
+        "??double", "?a&&b", "?SessionID=9",
+    ]))
+    cal = draw(st.sampled_from(["", "/2024/07/", "/1999/12/", "/20ab/01/"]))
+    return f"{scheme}{host}/{path}{cal}{q}"
+
+
+def test_trap_signals_match_python_reference(spark):
+    from hypothesis import strategies as st
+
+    from pixcrawler_spark.operators.traps import trap_py, trap_signals
+
+    urls = st.composite(_urlish)
+    # collect a deterministic corpus with one @given pass, then verify
+    # it against Spark in a single batch job
+    from hypothesis import HealthCheck, given, settings
+
+    collected: list[str] = []
+
+    @settings(
+        max_examples=400,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(urls())
+    def _collect(u):
+        collected.append(u)
+
+    _collect()
+    corpus = sorted(set(collected))
+    assert len(corpus) > 100
+    df = spark.createDataFrame([(u,) for u in corpus], "url string")
+    got = {r["url"]: r for r in trap_signals(df).collect()}
+    for u in corpus:
+        want = trap_py(u)
+        g = got[u]
+        for k, v in want.items():
+            assert g[k] == v, (u, k, g[k], v)
