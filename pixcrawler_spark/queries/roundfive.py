@@ -929,3 +929,78 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         q(0.95).alias("p95_est"),
         q(0.99).alias("p99_est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sample_quality_budget — greedy quality-first selection to a token budget
+# ---------------------------------------------------------------------------
+QB_BUDGET_TOKENS = 2500  # per-lang token budget (< each lang's total)
+
+
+@register(
+    "sample_quality_budget",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tok,
+             len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))::DOUBLE
+               / len(regexp_split_to_array(trim(text), '\\s+')) AS uniq_ratio
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, lang, n_tok,
+             ROUND(uniq_ratio, 4) AS quality,
+             SUM(n_tok) OVER (PARTITION BY lang
+                              ORDER BY uniq_ratio DESC, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, lang, n_tok, quality, cum_tokens::BIGINT AS cum_tokens,
+           cum_tokens <= {QB_BUDGET_TOKENS} AS kept
+    FROM r
+    """,
+    doc=f"Quality-first budget selection: within each language, docs "
+    "ordered by unique-token ratio (a Gopher-style repetition/quality "
+    "proxy) fill a {QB}-token budget greedily — the curation step "
+    "that spends a fixed token budget on the BEST documents rather "
+    "than a uniform sample (contrast sample_corpus_mixture). One "
+    "window per lang over doc-count rows; the kept set is a "
+    "deterministic pure function of the corpus, reproducible across "
+    "engines and cluster sizes. Registered past the driver window "
+    "(pytest-oracle-verified; r05 rotation candidate)."
+    .replace("{QB}", str(QB_BUDGET_TOKENS)),
+)
+def sample_quality_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    t = d.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("bigint").alias("n_tok"),
+        (
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.size(toks)
+        ).alias("uniq_ratio"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("uniq_ratio"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    r = t.select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        F.round("uniq_ratio", 4).alias("quality"),
+        F.sum("n_tok").over(w).alias("cum_tokens"),
+    )
+    return r.select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        "quality",
+        F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+        (F.col("cum_tokens") <= QB_BUDGET_TOKENS).alias("kept"),
+    )

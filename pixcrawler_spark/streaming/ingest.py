@@ -106,6 +106,43 @@ def windowed_hll_registers(
     )
 
 
+def windowed_cms_counters(
+    pages: DataFrame, watermark: str = "1 hour", window: str = "1 day"
+) -> DataFrame:
+    """Streaming heavy-hitter state: per-window count-min counters over
+    the politeness domain key. Like the HLL registers above, this is
+    ONE watermarked stateful aggregation with bounded state — at most
+    d×w (= 256) counter rows per window regardless of url volume — and
+    SUM-merged counters are identical to the batch build over the same
+    data (parity asserted in tests/test_streaming.py). Feeds the
+    skew-salting decision continuously instead of per-batch."""
+    from pixcrawler_spark.operators import sketches as sk
+
+    key = domain_expr("url")
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(j).alias("j"), sk.cms_bucket(key, j))
+                for j in range(sk.CMS_DEPTH)
+            ]
+        )
+    ).alias("e")
+    return (
+        pages.withWatermark("warc_ts", watermark)
+        .select(F.window("warc_ts", window).alias("w"), rows)
+        .select("w", F.col("e.j").alias("j"), F.col("e.bucket").alias("bucket"))
+        .groupBy("w", "j", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "j",
+            "bucket",
+            "cnt",
+        )
+    )
+
+
 def stream_unseen_urls(pages: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming URL-seen set: stateful ``dropDuplicates`` on url with
     a watermark bound on state (the streaming analog of the batch

@@ -322,3 +322,28 @@ def test_waterfill_operator_properties(spark):
             if prev is not None:
                 assert r["allocated"] >= prev[d]["allocated"] - 1e-9
         prev = rows
+
+
+def test_quality_budget_greedy_prefix(spark, sf_dir):
+    from pixcrawler_spark.queries.roundfive import QB_BUDGET_TOKENS
+
+    rows = REGISTRY["sample_quality_budget"].fn(spark, sf_dir).collect()
+    assert len(rows) > 0
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        kept = [r for r in rs if r["kept"]]
+        dropped = [r for r in rs if not r["kept"]]
+        assert sum(r["n_tok"] for r in kept) <= QB_BUDGET_TOKENS
+        if kept and dropped:
+            # greedy prefix: the worst kept quality >= best dropped
+            # quality, except docs skipped only at the budget boundary
+            min_kept = min(r["quality"] for r in kept)
+            better_dropped = [
+                r for r in dropped if r["quality"] > min_kept
+            ]
+            # any higher-quality dropped doc must sit past the budget
+            # in cumulative order
+            for r in better_dropped:
+                assert r["cum_tokens"] > QB_BUDGET_TOKENS

@@ -203,3 +203,57 @@ def test_windowed_hll_matches_batch_and_exact(spark, pages_stream_dir):
     assert set(est) == set(exact)
     for k, e in est.items():
         assert abs(e - exact[k]) / exact[k] < 0.15, (k, e, exact[k])
+
+
+def test_windowed_cms_matches_batch(spark, pages_stream_dir):
+    """Streaming CMS counters == batch counters over the same data
+    (SUM-merge determinism)."""
+    from pixcrawler_spark.operators import sketches as sk
+    from pixcrawler_spark.operators.politeness import domain_expr
+    from pixcrawler_spark.streaming.ingest import windowed_cms_counters
+
+    src = stream_pages(spark, pages_stream_dir)
+    q = (
+        windowed_cms_counters(src, watermark="1 hour", window="1 day")
+        .writeStream.format("memory")
+        .queryName("cmsreg")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = spark.sql("SELECT * FROM cmsreg")
+    assert streamed.count() > 0
+    batch_pages = spark.read.parquet(pages_stream_dir).select(
+        F.window("warc_ts", "1 day").alias("w"), "url"
+    ).select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        domain_expr("url").alias("k"),
+    )
+    key = F.col("k")
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(j).alias("j"), sk.cms_bucket(key, j))
+                for j in range(sk.CMS_DEPTH)
+            ]
+        )
+    ).alias("e")
+    batch = (
+        batch_pages.select("window_start", "window_end", rows)
+        .select(
+            "window_start", "window_end",
+            F.col("e.j").alias("j"), F.col("e.bucket").alias("bucket"),
+        )
+        .groupBy("window_start", "window_end", "j", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt_b"))
+    )
+    joined = streamed.join(
+        batch, ["window_start", "window_end", "j", "bucket"], "full"
+    )
+    assert joined.where(
+        F.col("cnt").isNull()
+        | F.col("cnt_b").isNull()
+        | (F.col("cnt") != F.col("cnt_b"))
+    ).count() == 0
