@@ -17,8 +17,10 @@ Registered FIRST (queries/__init__.py) so the first nine land inside
 the driver's 50-entry correctness window; the nine analytics/advanced
 queries they displace (q01-q04, q21-q25) all carry green
 CORRECTNESS_r03 rows, so union(r03, r04) still covers everything but
-graph_anchor_text (added after the window filled with no-prior-row
-queries; pytest-oracle-verified, flagged for the r05 rotation).
+the overflow newcomers graph_anchor_text, sketch_histogram_quantiles,
+and sample_quality_budget (added after the window filled with
+no-prior-row queries; each is pytest-oracle-verified at three scale
+factors and is a priority candidate for the r05 window rotation).
 
 Reference analogs: the retry ladder + per-keyword progress tracking in
 builder/core (fixed backoff, exact Python set sizes) and the
