@@ -64,7 +64,13 @@ def with_robots_decision(
     domain's politeness parameters (defaults for unknown domains).
 
     The prefix test is ``exists(disallow_prefixes, p -> startswith(path, p))``
-    — a JVM higher-order function over a tiny array, no UDF.
+    — a JVM higher-order function over a tiny array, no UDF. When the
+    robots frame also carries ``allow_prefixes`` (parse_robots emits
+    it), RFC 9309 §2.2.2 longest-match precedence applies instead via
+    ``robots.rfc_allowed_expr``: the most specific matching record
+    wins, Allow wins ties. Frames without the column (legacy fixtures,
+    disallow-only stores) keep the pure disallow semantics — identical
+    results when no Allow records exist.
 
     ``broadcast=False`` (default) uses a merge-hinted SMJ: at frontier
     scale the robots table is ~1 row per domain (10^8 at 10^10 urls) —
@@ -72,26 +78,40 @@ def with_robots_decision(
     against enqueue-time deltas, which are politeness-bounded. Pass
     ``broadcast=True`` only when robots is known to be a small dim.
     """
-    r = robots.select(
-        "domain",
+    has_allow = "allow_prefixes" in robots.columns
+    cols = [
+        F.col("domain"),
         F.col("disallow_prefixes").alias("_dis"),
         F.col("crawl_delay_s").alias("_delay"),
         F.col("max_per_round").alias("_max_round"),
-    )
+    ]
+    if has_allow:
+        cols.insert(2, F.col("allow_prefixes").alias("_allow"))
+    r = robots.select(*cols)
     r = F.broadcast(r) if broadcast else r.hint("merge")
     joined = candidates.join(r, "domain", "left")
     path = path_expr(url_col)
-    denied = F.when(
-        F.col("_dis").isNotNull(),
-        F.exists("_dis", lambda p: F.col(url_col).isNotNull() & path.startswith(p)),
-    ).otherwise(F.lit(False))
+    if has_allow:
+        from pixcrawler_spark.operators.robots import rfc_allowed_expr
+
+        denied = F.when(
+            F.col("_dis").isNotNull() & F.col(url_col).isNotNull(),
+            ~rfc_allowed_expr(path, F.col("_allow"), F.col("_dis")),
+        ).otherwise(F.lit(False))
+    else:
+        denied = F.when(
+            F.col("_dis").isNotNull(),
+            F.exists(
+                "_dis", lambda p: F.col(url_col).isNotNull() & path.startswith(p)
+            ),
+        ).otherwise(F.lit(False))
     return (
         joined.withColumn("robots_denied", denied)
         .withColumn("crawl_delay_s", F.coalesce("_delay", F.lit(DEFAULT_CRAWL_DELAY_S)))
         .withColumn(
             "max_per_round", F.coalesce("_max_round", F.lit(DEFAULT_MAX_PER_ROUND))
         )
-        .drop("_dis", "_delay", "_max_round")
+        .drop("_dis", "_allow", "_delay", "_max_round")
     )
 
 

@@ -93,9 +93,13 @@ def _star_group(lines_col: Column) -> Column:
 def parse_robots(
     df: DataFrame, domain_col: str = "domain", body_col: str = "robots_txt"
 ) -> DataFrame:
-    """Raw robots bodies → (domain, disallow_prefixes, crawl_delay_s).
+    """Raw robots bodies → (domain, disallow_prefixes, allow_prefixes,
+    crawl_delay_s).
 
     Null/empty bodies produce allow-all (empty prefixes, null delay).
+    ``allow_prefixes`` carries RFC 9309 Allow records from the ``*``
+    group (same '/'-stripped form as disallow); the longest-match
+    precedence between the two lists is ``rfc_allowed_expr``.
     """
     star_lines = _star_group(_clean_lines(F.coalesce(F.col(body_col), F.lit(""))))
     tagged = df.select(
@@ -116,6 +120,23 @@ def parse_robots(
         lambda v: v != "",
     )
     dis_paths = F.transform(dis_vals, lambda v: F.regexp_replace(v, r"^/", ""))
+    # Allow records: same value handling, but "allow" does NOT match
+    # the start of "disallow" the way a naive prefix regex would — the
+    # (?i)^allow anchor below cannot fire on "Disallow:" lines because
+    # those start with 'd'.
+    allow_raw = F.filter(
+        F.col("_lines"), lambda l: F.lower(l).rlike(r"^allow\s*:")
+    )
+    allow_vals = F.filter(
+        F.transform(
+            allow_raw,
+            lambda l: F.trim(F.regexp_replace(l, r"(?i)^allow\s*:", "")),
+        ),
+        lambda v: v != "",
+    )
+    allow_paths = F.transform(
+        allow_vals, lambda v: F.regexp_replace(v, r"^/", "")
+    )
     delays = F.filter(
         F.col("_lines"), lambda l: F.lower(l).rlike(r"^crawl-delay\s*:")
     )
@@ -131,8 +152,38 @@ def parse_robots(
     return tagged.select(
         "domain",
         dis_paths.alias("disallow_prefixes"),
+        allow_paths.alias("allow_prefixes"),
         delay.alias("crawl_delay_s"),
     )
+
+
+def rfc_allowed_expr(
+    path: Column, allow_col: Column, dis_col: Column
+) -> Column:
+    """RFC 9309 §2.2.2 longest-match precedence over prefix rules:
+    the most specific (longest) matching record wins; on a tie the
+    least restrictive (Allow) wins. Prefixes are in the stored
+    '/'-stripped form, so deny-all ('') has specificity 0 and any
+    matching Allow beats it. Pure JVM array folds — for each list,
+    the fold keeps the longest matching prefix length (-1 = no
+    match), then one comparison decides.
+
+    (Wildcards * and $ are NOT supported — prefix rules only, the
+    same subset the reference-era crawlers and the rest of this
+    parser implement; bodies using them fall back to prefix
+    semantics deterministically.)
+    """
+
+    def best_len(prefixes: Column) -> Column:
+        return F.aggregate(
+            F.filter(prefixes, lambda p: path.startswith(p)),
+            F.lit(-1),
+            lambda acc, p: F.greatest(acc, F.length(p)),
+        )
+
+    a = best_len(F.coalesce(allow_col, F.array().cast("array<string>")))
+    d = best_len(F.coalesce(dis_col, F.array().cast("array<string>")))
+    return (d == -1) | (a >= d)
 
 
 def sitemap_urls(body_col: Column) -> Column:

@@ -51,4 +51,19 @@ from pixcrawler_spark.queries import pipeline as _pipeline  # noqa: F401
 from pixcrawler_spark.queries import media as _media  # noqa: F401
 from pixcrawler_spark.queries import jobops as _jobops  # noqa: F401
 
+# Rotation fix-up: with roundfive/roundfour/trainprep registering first,
+# q18-q20 (rowless since r02) land at positions 51-53 — a THIRD round
+# without a driver row. Demote four pipeline-core queries that DO have
+# green CORRECTNESS_r03 rows past the 50-cap so all of q05-q20 plus the
+# new crawl_robots_rfc_allow sit inside the r04 window; union(r03, r04)
+# still covers every entry, and tests/test_queries_oracle.py runs the
+# demoted four on every pytest run regardless.
+for _demoted in (
+    "dedup_simhash",
+    "text_stats",
+    "text_lang_confusion",
+    "dedup_embedding_cosine_pairs",
+):
+    REGISTRY[_demoted] = REGISTRY.pop(_demoted)
+
 __all__ = ["REGISTRY", "Query", "register"]

@@ -664,3 +664,80 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("method")
+
+
+@register(
+    "crawl_robots_rfc_allow",
+    oracle="""
+    SELECT 'https://' || source || '.example/'
+             || CASE CAST(doc_id % 5 AS BIGINT)
+                  WHEN 0 THEN 'private/secret/'
+                  WHEN 1 THEN 'private/open/'
+                  WHEN 2 THEN 'tmp'
+                  WHEN 3 THEN 'pub/'
+                  ELSE 'x/'
+                END
+             || CAST(doc_id AS VARCHAR) AS url,
+           source AS domain,
+           CASE WHEN doc_id % 5 IN (0, 2) THEN 'deny' ELSE 'allow' END
+             AS decision
+    FROM documents
+    """,
+    doc="RFC 9309 Allow-directive precedence (operators/robots.py "
+    "rfc_allowed_expr + politeness.with_robots_decision): synthetic "
+    "bodies carry Allow/Disallow pairs exercising longest-match wins, "
+    "Allow-wins-ties, deny-all beaten by a specific Allow, and "
+    "no-match default-allow; the engine PARSES and APPLIES the rules "
+    "through the production join, the oracle states the expected "
+    "decision from the same deterministic rule. Absent in the "
+    "reference (it never reads robots); required by the north rule.",
+)
+def crawl_robots_rfc_allow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pixcrawler_spark.operators import politeness as pol
+    from pixcrawler_spark.operators.robots import parse_robots
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    # one body per domain; rules chosen so each of the 5 path shapes
+    # below exercises a distinct precedence branch:
+    #   private/secret/N  dis 'private/'(8)  > allow ''(0)      -> deny
+    #   private/open/N    allow 'private/open/'(13) > dis(8)    -> allow
+    #   tmpN              dis 'tmp'(3) > allow ''(0)            -> deny
+    #   pub/N             no disallow match                     -> allow
+    #   x/N               dis 'x'(1) == allow 'x'(1), tie       -> allow
+    body = F.lit(
+        "# synthetic\nUser-agent: googlebot\nDisallow: /\n"
+        "User-agent: *\nDisallow: /private/\nAllow: /private/open/\n"
+        "Disallow: /tmp\nDisallow: /x\nAllow: /x\nAllow: /\n"
+    )
+    robots = parse_robots(
+        docs.select("source")
+        .distinct()
+        .select(F.col("source").alias("domain"), body.alias("robots_txt"))
+    ).withColumn("max_per_round", F.lit(10).cast("int"))
+    path = F.concat(
+        F.element_at(
+            F.array(
+                F.lit("private/secret/"),
+                F.lit("private/open/"),
+                F.lit("tmp"),
+                F.lit("pub/"),
+                F.lit("x/"),
+            ),
+            (F.col("doc_id") % 5 + 1).cast("int"),
+        ),
+        F.col("doc_id").cast("string"),
+    )
+    cand = docs.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example/"), path
+        ).alias("url"),
+        F.col("source").alias("domain"),
+    )
+    decided = pol.with_robots_decision(cand, robots, broadcast=True)
+    return decided.select(
+        "url",
+        "domain",
+        F.when(F.col("robots_denied"), F.lit("deny"))
+        .otherwise(F.lit("allow"))
+        .alias("decision"),
+    )

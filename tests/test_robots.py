@@ -140,3 +140,89 @@ def test_no_python_in_plan(spark):
     )
     plan = parse_robots(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_allow_prefixes_parsed(spark):
+    """Allow records in the * group are extracted like Disallow ones,
+    and the (?i)^allow anchor must NOT fire on Disallow lines."""
+    df = spark.createDataFrame(
+        [
+            (
+                "a.example",
+                "User-agent: *\nAllow: /open/\nDisallow: /closed/\n"
+                "Allow:\nALLOW: /Upper/\nAllow: /",
+            ),
+            ("b.example", "User-agent: *\nDisallow: /only/"),
+        ],
+        "domain string, robots_txt string",
+    )
+    got = {
+        r["domain"]: (list(r["allow_prefixes"]), list(r["disallow_prefixes"]))
+        for r in parse_robots(df).collect()
+    }
+    assert got["a.example"] == (["open/", "Upper/", ""], ["closed/"])
+    assert got["b.example"] == ([], ["only/"])
+
+
+def test_rfc_allow_precedence(spark):
+    """RFC 9309 §2.2.2 longest-match precedence through the production
+    with_robots_decision join: specific Allow beats shorter Disallow,
+    specific Disallow beats shorter Allow, tie -> Allow, deny-all ('')
+    beaten by any matching Allow, no match -> allowed."""
+    from pyspark.sql import functions as F
+
+    from pixcrawler_spark.operators import politeness as pol
+
+    rules = parse_robots(
+        spark.createDataFrame(
+            [
+                (
+                    "d.example",
+                    "User-agent: *\nDisallow: /a/\nAllow: /a/sub/\n"
+                    "Allow: /b/\nDisallow: /b/sub/\n"
+                    "Disallow: /tie\nAllow: /tie\nDisallow: /",
+                )
+            ],
+            "domain string, robots_txt string",
+        )
+    ).withColumn("max_per_round", F.lit(10).cast("int"))
+    cases = {
+        "https://d.example/a/x": True,        # dis 'a/' > allow ''
+        "https://d.example/a/sub/x": False,   # allow 'a/sub/' > dis 'a/'
+        "https://d.example/b/x": False,       # allow 'b/' > deny-all ''
+        "https://d.example/b/sub/x": True,    # dis 'b/sub/' > allow 'b/'
+        "https://d.example/tie-page": False,  # tie at len 3 -> Allow wins
+        "https://d.example/other": True,      # only deny-all '' matches
+    }
+    cand = spark.createDataFrame(
+        [(u, "d.example") for u in cases], "url string, domain string"
+    )
+    got = {
+        r["url"]: r["robots_denied"]
+        for r in pol.with_robots_decision(cand, rules).collect()
+    }
+    assert got == cases
+
+
+def test_rfc_allow_plan_stays_jvm(spark):
+    """The allow-aware decision path must stay whole-stage-codegen."""
+    from pyspark.sql import functions as F
+
+    from pixcrawler_spark.operators import politeness as pol
+
+    rules = parse_robots(
+        spark.createDataFrame(
+            [("d.example", "User-agent: *\nAllow: /a/\nDisallow: /")],
+            "domain string, robots_txt string",
+        )
+    ).withColumn("max_per_round", F.lit(10).cast("int"))
+    cand = spark.createDataFrame(
+        [("https://d.example/a/x", "d.example")], "url string, domain string"
+    )
+    plan = (
+        pol.with_robots_decision(cand, rules)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
