@@ -39,6 +39,11 @@ from pixcrawler_spark.queries import roundfour as _roundfour  # noqa: F401
 # all carry green CORRECTNESS_r03 rows, so union(r03, r04) still covers
 # the whole registry.
 from pixcrawler_spark.queries import trainprep as _trainprep  # noqa: F401
+# datasel's 3 data-selection queries (Gopher gates, shard packing,
+# DSIR importance) are new in r04 and register inside the window; the
+# rotation fix-up below demotes three more r03-green pipeline queries
+# to make room.
+from pixcrawler_spark.queries import datasel as _datasel  # noqa: F401
 from pixcrawler_spark.queries import analytics as _analytics  # noqa: F401
 from pixcrawler_spark.queries import advanced as _advanced  # noqa: F401
 from pixcrawler_spark.queries import crawlops as _crawlops  # noqa: F401
@@ -63,6 +68,9 @@ for _demoted in (
     "text_stats",
     "text_lang_confusion",
     "dedup_embedding_cosine_pairs",
+    "dedup_minhash_signatures",
+    "dedup_minhash_lsh_pairs",
+    "dedup_minhash_verified_pairs",
 ):
     REGISTRY[_demoted] = REGISTRY.pop(_demoted)
 
