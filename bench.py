@@ -56,6 +56,11 @@ HEADLINE = [
     "crawl_recrawl_schedule",
     "crawl_trap_detection",
     "text_span_dedup",
+    # round 4 data-selection family
+    "text_gopher_rules",
+    "train_shard_pack",
+    "text_dsir_importance",
+    "crawl_robots_rfc_allow",
 ]
 
 

@@ -71,6 +71,8 @@ for _demoted in (
     "dedup_minhash_signatures",
     "dedup_minhash_lsh_pairs",
     "dedup_minhash_verified_pairs",
+    "dedup_ngram_jaccard_pairs",
+    "ann_cosine_topk",
 ):
     REGISTRY[_demoted] = REGISTRY.pop(_demoted)
 

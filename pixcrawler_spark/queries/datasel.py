@@ -5,8 +5,9 @@ and a training run.
 Reference analog: none — alaamer12/PixCrawler stops at download +
 validity checks (validator/integrity.py); these are the operations the
 north rule's 100 TB webtext pipeline needs NEXT. Spark-first notes per
-query in the docstrings; all three are pure JVM expressions (no Python
-in the hot path) with DuckDB oracles built from the same constants.
+query in the docstrings; every query is pure JVM expressions (no
+Python in the hot path) with DuckDB oracles built from the same
+constants.
 """
 
 from __future__ import annotations
@@ -308,4 +309,170 @@ def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_feats", F.lit(0).cast("bigint")).alias("n_feats"),
         F.round(F.coalesce("sc", F.lit(0.0)), 4).alias("importance"),
         (F.coalesce("sc", F.lit(0.0)) > 0).alias("selected"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# train_chunk_windows — fixed-token-window chunking with stride
+# ---------------------------------------------------------------------------
+CHUNK_TOKENS = 128
+CHUNK_STRIDE = 96  # 32-token overlap between consecutive windows
+
+
+@register(
+    "train_chunk_windows",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, toks, len(toks)::BIGINT AS n,
+             CASE WHEN len(toks) = 0 THEN 0 ELSE
+               1 + (greatest(len(toks) - {CHUNK_TOKENS}, 0)
+                    + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE}
+             END AS n_chunks
+      FROM t
+    ), c AS (
+      SELECT doc_id, unnest(range(0, n_chunks)) AS chunk_id
+      FROM s
+    )
+    SELECT c.doc_id AS doc_id,
+           chunk_id::BIGINT AS chunk_id,
+           (chunk_id * {CHUNK_STRIDE})::BIGINT AS start_tok,
+           least({CHUNK_TOKENS}, s.n - chunk_id * {CHUNK_STRIDE})::BIGINT
+             AS n_chunk_tokens,
+           {sk.sql_h60(
+               "array_to_string(list_slice(s.toks, "
+               f"chunk_id * {CHUNK_STRIDE} + 1, "
+               f"chunk_id * {CHUNK_STRIDE} + least({CHUNK_TOKENS}, "
+               f"s.n - chunk_id * {CHUNK_STRIDE})), ' ')"
+           )} AS chunk_hash
+    FROM c JOIN s ON c.doc_id = s.doc_id
+    """,
+    doc="Training-window chunking: each doc's token stream cut into "
+    f"{CHUNK_TOKENS}-token windows at stride {CHUNK_STRIDE} (the "
+    "context-window packing step before tokenized shard writes), with "
+    "a portable 60-bit content hash per chunk so chunk-level dedup "
+    "can run downstream. One narrow map + explode, zero shuffle; "
+    "chunk counts are bounded by doc length so the explode factor is "
+    "uniform — no skew at 100 TB.",
+)
+def train_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", _toks().alias("toks"))
+    n = F.size("toks")
+    n_chunks = F.when(n == 0, F.lit(0)).otherwise(
+        1
+        + F.floor(
+            (F.greatest(n - CHUNK_TOKENS, F.lit(0)) + CHUNK_STRIDE - 1)
+            / CHUNK_STRIDE
+        ).cast("int")
+    )
+    s = base.select("doc_id", "toks", n.cast("bigint").alias("n"), n_chunks.alias("n_chunks"))
+    c = s.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_id"),
+    ).where(F.col("n_chunks") > 0)
+    start = F.col("chunk_id") * CHUNK_STRIDE
+    clen = F.least(F.lit(CHUNK_TOKENS).cast("bigint"), F.col("n") - start)
+    chunk = F.slice(F.col("toks"), (start + 1).cast("int"), clen.cast("int"))
+    return c.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        start.cast("bigint").alias("start_tok"),
+        clen.cast("bigint").alias("n_chunk_tokens"),
+        sk.h60(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sample_lang_temperature — temperature-based language resampling
+# ---------------------------------------------------------------------------
+# alpha = 0.5 (rate proportional to sqrt of the language's token share).
+# sqrt is IEEE correctly-rounded in BOTH engines, so the keep threshold
+# floor(rate * 1e6) is bit-identical across Spark and DuckDB — unlike a
+# pow()-based temperature, which can differ by 1 ulp between libms.
+_TEMP_KEY = "'tmp:' || CAST(doc_id AS VARCHAR)"
+_TEMP_U = f"{sk.sql_h60(_TEMP_KEY)} % 1000000"
+
+
+@register(
+    "sample_lang_temperature",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, lang, len({_SQL_TOKS})::BIGINT AS n_tok,
+             {_TEMP_U} AS u
+      FROM documents
+    ), tot AS (
+      SELECT lang, COUNT(*)::BIGINT AS n_docs,
+             SUM(n_tok)::BIGINT AS total_tokens
+      FROM docs GROUP BY lang
+    ), mx AS (
+      SELECT MAX(total_tokens)::BIGINT AS max_tokens FROM tot
+    ), rated AS (
+      SELECT lang, n_docs, total_tokens,
+             sqrt(total_tokens::DOUBLE / max_tokens) AS rate
+      FROM tot, mx
+    )
+    SELECT r.lang AS lang, n_docs, total_tokens,
+           ROUND(rate, 6) AS sample_rate,
+           SUM(CASE WHEN u < CAST(floor(rate * 1000000) AS BIGINT)
+               THEN 1 ELSE 0 END)::BIGINT AS kept_docs,
+           SUM(CASE WHEN u < CAST(floor(rate * 1000000) AS BIGINT)
+               THEN n_tok ELSE 0 END)::BIGINT AS kept_tokens
+    FROM rated r JOIN docs d USING (lang)
+    GROUP BY r.lang, n_docs, total_tokens, rate
+    """,
+    doc="Temperature (alpha=0.5) language resampling: keep rate per "
+    "language proportional to sqrt(token share), largest language at "
+    "rate 1 — the standard multilingual rebalancing (mBERT/XLM-R "
+    "exponentiated sampling) next to sample_corpus_mixture's absolute "
+    "budgets. Keep decision is a pure function of doc_id (portable "
+    "hash vs the lang rate), reproducible across engines and cluster "
+    "sizes; rate dim broadcast, scan shuffle-free.",
+)
+def sample_lang_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        "lang",
+        F.size(_toks()).cast("bigint").alias("n_tok"),
+        (
+            sk.h60(F.concat(F.lit("tmp:"), F.col("doc_id").cast("string")))
+            % 1000000
+        ).alias("u"),
+    )
+    tot = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+    )
+    mx = tot.agg(F.max("total_tokens").cast("bigint").alias("max_tokens"))
+    rated = tot.crossJoin(F.broadcast(mx)).select(
+        "lang",
+        "n_docs",
+        "total_tokens",
+        F.sqrt(F.col("total_tokens").cast("double") / F.col("max_tokens")).alias(
+            "rate"
+        ),
+    )
+    thresh = F.floor(F.col("rate") * 1000000).cast("bigint")
+    kept = F.col("u") < thresh
+    return (
+        docs.join(F.broadcast(rated), "lang")
+        .groupBy("lang", "n_docs", "total_tokens", "rate")
+        .agg(
+            F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("kept_docs"),
+            F.sum(F.when(kept, F.col("n_tok")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_tokens",
+            F.round("rate", 6).alias("sample_rate"),
+            "kept_docs",
+            "kept_tokens",
+        )
     )
