@@ -61,6 +61,8 @@ HEADLINE = [
     "train_shard_pack",
     "text_dsir_importance",
     "crawl_robots_rfc_allow",
+    "text_quality_classifier",
+    "text_perplexity_buckets",
 ]
 
 

@@ -73,6 +73,12 @@ for _demoted in (
     "dedup_minhash_verified_pairs",
     "dedup_ngram_jaccard_pairs",
     "ann_cosine_topk",
+    # the last two r03-green residents, demoted so the late-round
+    # datasel additions (text_quality_classifier,
+    # text_perplexity_buckets) don't push q19/q20 — rowless since
+    # r02 — back out of the window
+    "dedup_exact",
+    "dedup_simhash_hamming",
 ):
     REGISTRY[_demoted] = REGISTRY.pop(_demoted)
 

@@ -476,3 +476,254 @@ def sample_lang_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kept_tokens",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# text_quality_classifier — fastText-style hashed linear quality model
+# ---------------------------------------------------------------------------
+# Deterministic stand-in for a trained classifier: the WEIGHTS are a
+# pure function of the feature bucket (portable 60-bit hash), so both
+# engines score identically without shipping a model file. The
+# plumbing — hashing trick, per-token weight lookup, mean margin,
+# logistic link — is exactly what a real fastText/CCNet quality
+# filter runs; swap the weight expression for a broadcast lookup of
+# trained weights and nothing else changes.
+QC_BUCKETS = 1024
+QC_SCALE = 4.0
+
+_SQL_QC_W = (
+    "(('0x' || substr(md5('qw:' || CAST("
+    "('0x' || substr(md5('qc:' || t), 1, 15))::BIGINT % "
+    f"{QC_BUCKETS} AS VARCHAR)), 1, 15))::BIGINT % 2001) - 1000"
+)
+
+
+@register(
+    "text_quality_classifier",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, len(toks)::BIGINT AS n_tok,
+             COALESCE(CAST(list_sum(list_transform(
+               toks, t -> {_SQL_QC_W}
+             )) AS BIGINT), 0) AS weight_sum
+      FROM t
+    )
+    SELECT doc_id, n_tok, weight_sum,
+           ROUND(CASE WHEN n_tok = 0 THEN 0.5 ELSE
+             1.0 / (1.0 + exp(-{QC_SCALE!r} * weight_sum
+                              / (1000.0 * n_tok)))
+           END, 4) AS quality_prob,
+           (weight_sum > 0) AS keep
+    FROM s
+    """,
+    doc="fastText-style hashed linear quality classifier (the "
+    "model-based filter of CCNet/LLaMA corpus pipelines, Wenzek et "
+    f"al. 2020): tokens hashed into {QC_BUCKETS} buckets, integer "
+    "centi-weights in [-1000,1000] derived from the bucket hash, doc "
+    "score = logistic(mean weight). The weight SUM is integer, so "
+    "the keep decision is bit-exact across engines and summation "
+    "orders; only the display probability touches floats (one exp, "
+    "rounded). Zero shuffle: F.aggregate folds the token array in "
+    "place — no explode, no groupBy; at 100 TB this is a pure "
+    "map stage pipelined with the scan.",
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+
+    def w(t: Column) -> Column:
+        bucket = (sk.h60(F.concat(F.lit("qc:"), t)) % QC_BUCKETS).cast(
+            "string"
+        )
+        return (sk.h60(F.concat(F.lit("qw:"), bucket)) % 2001) - 1000
+
+    s = d.select(
+        "doc_id",
+        F.size(_toks()).cast("bigint").alias("n_tok"),
+        F.aggregate(
+            _toks(),
+            F.lit(0).cast("bigint"),
+            lambda acc, t: acc + w(t),
+        ).alias("weight_sum"),
+    )
+    margin = F.col("weight_sum") / (1000.0 * F.col("n_tok"))
+    prob = F.when(F.col("n_tok") == 0, F.lit(0.5)).otherwise(
+        1.0 / (1.0 + F.exp(-QC_SCALE * margin))
+    )
+    return s.select(
+        "doc_id",
+        "n_tok",
+        "weight_sum",
+        F.round(prob, 4).alias("quality_prob"),
+        (F.col("weight_sum") > 0).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_perplexity_buckets — CCNet head/middle/tail perplexity split
+# ---------------------------------------------------------------------------
+LM_BUCKETS = 4096
+
+
+@register(
+    "text_perplexity_buckets",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents
+    ), g AS (
+      SELECT doc_id, lang, toks FROM t WHERE len(toks) >= 2
+    ), f AS (
+      SELECT doc_id, lang,
+             {sk.sql_h60("'lm1:' || w1")} % {LM_BUCKETS} AS ub,
+             {sk.sql_h60("'lm2:' || w1 || ' ' || w2")} % {LM_BUCKETS} AS bb
+      FROM (
+        SELECT doc_id, lang,
+               unnest(list_transform(range(1, len(toks)),
+                                     i -> toks[i])) AS w1,
+               unnest(list_transform(range(1, len(toks)),
+                                     i -> toks[i+1])) AS w2
+        FROM g
+      )
+    ), cu AS (
+      SELECT ub, COUNT(*)::BIGINT AS cu FROM f GROUP BY ub
+    ), cb AS (
+      SELECT bb, COUNT(*)::BIGINT AS cb FROM f GROUP BY bb
+    ), sc AS (
+      SELECT doc_id, lang, COUNT(*)::BIGINT AS n_bigrams,
+             ROUND(SUM(ln((cb + 1.0) / (cu + {LM_BUCKETS})))
+                   / COUNT(*), 4) AS avg_logprob
+      FROM f JOIN cu USING (ub) JOIN cb USING (bb)
+      GROUP BY doc_id, lang
+    ), hist AS (
+      SELECT lang, avg_logprob, COUNT(*)::BIGINT AS n
+      FROM sc GROUP BY lang, avg_logprob
+    ), cum AS (
+      SELECT lang, avg_logprob,
+             COALESCE(SUM(n) OVER (
+               PARTITION BY lang ORDER BY avg_logprob DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0)::BIGINT AS better,
+             SUM(n) OVER (PARTITION BY lang)::BIGINT AS total
+      FROM hist
+    )
+    SELECT doc_id, sc.lang AS lang, n_bigrams, sc.avg_logprob AS avg_logprob,
+           CASE WHEN better * 3 < total THEN 'head'
+                WHEN better * 3 < total * 2 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM sc JOIN cum ON sc.lang = cum.lang
+                    AND sc.avg_logprob = cum.avg_logprob
+    """,
+    doc="CCNet-style perplexity bucketing (Wenzek et al. 2020): a "
+    f"hashed-bigram LM ({LM_BUCKETS} buckets, add-1 smoothing) "
+    "trained on the corpus itself scores each doc's mean bigram "
+    "log-probability; docs split per-language into head/middle/tail "
+    "terciles (bucket = share of strictly-better docs, ties share a "
+    "bucket). Scale path: the two count dims are <= "
+    f"{LM_BUCKETS} rows and BROADCAST; the tercile split sorts only "
+    "the per-(lang, rounded-score) HISTOGRAM dim — never a full "
+    "per-language sort of the documents (the same two-phase trick as "
+    "train_shard_pack), then hash-joins buckets back. Integer "
+    "3*better<total comparisons keep the split exact.",
+)
+def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", "lang", _toks().alias("toks")).where(
+        F.size("toks") >= 2
+    )
+    n = F.size("toks")
+    pairs = F.transform(
+        F.sequence(F.lit(0), n - 2),
+        lambda i: F.struct(
+            F.element_at(F.col("toks"), i + 1).alias("w1"),
+            F.element_at(F.col("toks"), i + 2).alias("w2"),
+        ),
+    )
+    f = base.select("doc_id", "lang", F.explode(pairs).alias("p")).select(
+        "doc_id",
+        "lang",
+        (sk.h60(F.concat(F.lit("lm1:"), F.col("p.w1"))) % LM_BUCKETS).alias(
+            "ub"
+        ),
+        (
+            sk.h60(
+                F.concat(
+                    F.lit("lm2:"), F.col("p.w1"), F.lit(" "), F.col("p.w2")
+                )
+            )
+            % LM_BUCKETS
+        ).alias("bb"),
+    )
+    # Both LM dims in ONE pass over the bigram stream (each bigram row
+    # contributes a unigram-prefix event and a bigram event), persisted
+    # at <= 2 * LM_BUCKETS rows so the two broadcast sides don't each
+    # re-run the explode. The feature stream itself is then evaluated
+    # exactly TWICE (count pass + score pass) — the classic two-pass
+    # LM-train/score shape, like text_tfidf_topterms.
+    cnts = (
+        f.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("u").alias("k"), F.col("ub").alias("bk")
+                    ),
+                    F.struct(F.lit("b").alias("k"), F.col("bb").alias("bk")),
+                )
+            ).alias("e")
+        )
+        .groupBy("e.k", "e.bk")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .persist()
+    )
+    cu = cnts.where(F.col("k") == "u").select(
+        F.col("bk").alias("ub"), F.col("c").alias("cu")
+    )
+    cb = cnts.where(F.col("k") == "b").select(
+        F.col("bk").alias("bb"), F.col("c").alias("cb")
+    )
+    sc = (
+        f.join(F.broadcast(cu), "ub")
+        .join(F.broadcast(cb), "bb")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.sum(F.log((F.col("cb") + 1.0) / (F.col("cu") + LM_BUCKETS)))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_logprob"),
+        )
+        .persist()  # doc-level rows: feeds BOTH the histogram dim and
+        # the final join — without this the whole LM pipeline runs 2x
+    )
+    hist = sc.groupBy("lang", "avg_logprob").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wdesc = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("avg_logprob").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wall = Window.partitionBy("lang")
+    cum = hist.select(
+        "lang",
+        "avg_logprob",
+        F.coalesce(F.sum("n").over(wdesc), F.lit(0))
+        .cast("bigint")
+        .alias("better"),
+        F.sum("n").over(wall).cast("bigint").alias("total"),
+    )
+    bucket = (
+        F.when(F.col("better") * 3 < F.col("total"), F.lit("head"))
+        .when(F.col("better") * 3 < F.col("total") * 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return sc.join(F.broadcast(cum), ["lang", "avg_logprob"]).select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        "avg_logprob",
+        bucket.alias("ppl_bucket"),
+    )

@@ -111,3 +111,60 @@ def test_temperature_rate_is_sqrt_share(spark, tmp_path):
         ).collect()
     }
     assert out == {"a": 1.0, "b": 0.5}
+
+
+def test_quality_classifier_keep_is_integer_exact(spark, tmp_path):
+    # keep must equal (weight_sum > 0) and weight_sum must be the sum
+    # of per-token bucket weights — recompute in pure Python from the
+    # same portable hash.
+    import hashlib
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def w(tok):
+        b = h60("qc:" + tok) % 1024
+        return (h60("qw:" + str(b)) % 2001) - 1000
+
+    text = "alpha beta gamma delta alpha"
+    expect = sum(w(t) for t in text.split())
+    out = _run(
+        spark, tmp_path, [(1, text, "en")], "text_quality_classifier"
+    ).collect()[0]
+    assert out["weight_sum"] == expect
+    assert out["keep"] == (expect > 0)
+    assert out["n_tok"] == 5
+
+
+def test_perplexity_terciles_split_by_score(spark, tmp_path):
+    # 6 docs in one lang: 3 made of a REPEATED common bigram (high
+    # logprob -> head side), 3 of unique bigrams (low -> tail side).
+    common = " ".join(["x y"] * 40)
+    rows = [(i, common, "en") for i in range(3)]
+    rows += [
+        (10 + i, " ".join(f"u{i}w{j}" for j in range(41)), "en")
+        for i in range(3)
+    ]
+    out = {
+        r["doc_id"]: (r["ppl_bucket"], r["avg_logprob"])
+        for r in _run(
+            spark, tmp_path, rows, "text_perplexity_buckets"
+        ).collect()
+    }
+    # the 3 common-bigram docs tie at the best score -> better=0 ->
+    # all 'head'. The unique docs are strictly worse (better >= 3 of
+    # 6) -> never 'head'; among themselves LM-bucket collisions may
+    # split their scores, so only assert bucket order follows score
+    # order.
+    assert all(out[i][0] == "head" for i in range(3))
+    uniq = sorted((out[10 + i] for i in range(3)), key=lambda t: -t[1])
+    assert all(b in ("middle", "tail") for b, _ in uniq)
+    order = {"head": 0, "middle": 1, "tail": 2}
+    assert [order[b] for b, _ in uniq] == sorted(order[b] for b, _ in uniq)
+    assert all(out[0][1] > s for _, s in uniq)
+
+
+def test_perplexity_excludes_sub_bigram_docs(spark, tmp_path):
+    rows = [(1, "solo", "en"), (2, "two tokens here ok", "en")]
+    out = _run(spark, tmp_path, rows, "text_perplexity_buckets").collect()
+    assert [r["doc_id"] for r in out] == [2]
