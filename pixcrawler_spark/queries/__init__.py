@@ -79,6 +79,10 @@ for _demoted in (
     # r02 — back out of the window
     "dedup_exact",
     "dedup_simhash_hamming",
+    # new in late r04 with no r03-green resident left to displace:
+    # overflow it (pytest-oracle-covered) and rotate it into the r05
+    # window, the same treatment the r03 judge accepted for overflow
+    "text_source_reputation",
 ):
     REGISTRY[_demoted] = REGISTRY.pop(_demoted)
 

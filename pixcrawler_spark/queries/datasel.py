@@ -727,3 +727,114 @@ def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_logprob",
         bucket.alias("ppl_bucket"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_source_reputation — RefinedWeb-style source/domain-level gate
+# ---------------------------------------------------------------------------
+# Thresholds as integer cross-multiplications so every decision is
+# exact: block when >=30% duplicate docs or <30% classifier-positive
+# docs; review when >=10% duplicates or <50% positive.
+REP_DUP_BLOCK_PCT = 30
+REP_POS_BLOCK_PCT = 30
+REP_DUP_REVIEW_PCT = 10
+REP_POS_REVIEW_PCT = 50
+
+
+@register(
+    "text_source_reputation",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, md5(text) AS h,
+             COALESCE(CAST(list_sum(list_transform(
+               {_SQL_TOKS}, t -> {_SQL_QC_W}
+             )) AS BIGINT), 0) AS wsum
+      FROM documents
+    ), s AS (
+      SELECT source,
+             COUNT(*)::BIGINT AS n_docs,
+             (COUNT(*) - COUNT(DISTINCT h))::BIGINT AS dup_docs,
+             SUM(CASE WHEN wsum > 0 THEN 1 ELSE 0 END)::BIGINT AS pos_docs
+      FROM t GROUP BY source
+    )
+    SELECT source, n_docs, dup_docs,
+           ROUND(dup_docs * 1.0 / n_docs, 4) AS dup_share,
+           pos_docs,
+           ROUND(pos_docs * 1.0 / n_docs, 4) AS pos_share,
+           CASE
+             WHEN dup_docs * 100 >= n_docs * {REP_DUP_BLOCK_PCT}
+               OR pos_docs * 100 < n_docs * {REP_POS_BLOCK_PCT}
+               THEN 'block'
+             WHEN dup_docs * 100 >= n_docs * {REP_DUP_REVIEW_PCT}
+               OR pos_docs * 100 < n_docs * {REP_POS_REVIEW_PCT}
+               THEN 'review'
+             ELSE 'allow'
+           END AS decision
+    FROM s
+    """,
+    doc="Source/domain-level reputation gate (the RefinedWeb/C4 "
+    "pattern of filtering whole domains, not just docs): per-source "
+    "duplicate share (md5 distinct) and classifier-positive share "
+    "(text_quality_classifier's integer weight sum) roll up into an "
+    "allow/review/block decision via integer cross-multiplication "
+    "thresholds — every output value is exact (integer counts and "
+    "exact decimal shares), zero float divergence risk. One "
+    "source-keyed agg; at 100 TB sources are ~10^7 keys with Zipf "
+    "skew, but the agg is all map-side partial (count/distinct-hash "
+    "partials), and the output is dim-sized — the gate then joins "
+    "back to docs as a broadcast.",
+)
+def text_source_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+
+    def w(t: Column) -> Column:
+        bucket = (sk.h60(F.concat(F.lit("qc:"), t)) % QC_BUCKETS).cast(
+            "string"
+        )
+        return (sk.h60(F.concat(F.lit("qw:"), bucket)) % 2001) - 1000
+
+    t = d.select(
+        "source",
+        F.md5("text").alias("h"),
+        F.aggregate(
+            _toks(), F.lit(0).cast("bigint"), lambda acc, tok: acc + w(tok)
+        ).alias("wsum"),
+    )
+    s = t.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (F.count(F.lit(1)) - F.countDistinct("h"))
+        .cast("bigint")
+        .alias("dup_docs"),
+        F.sum(F.when(F.col("wsum") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("pos_docs"),
+    )
+    decision = (
+        F.when(
+            (F.col("dup_docs") * 100 >= F.col("n_docs") * REP_DUP_BLOCK_PCT)
+            | (F.col("pos_docs") * 100 < F.col("n_docs") * REP_POS_BLOCK_PCT),
+            F.lit("block"),
+        )
+        .when(
+            (F.col("dup_docs") * 100 >= F.col("n_docs") * REP_DUP_REVIEW_PCT)
+            | (
+                F.col("pos_docs") * 100
+                < F.col("n_docs") * REP_POS_REVIEW_PCT
+            ),
+            F.lit("review"),
+        )
+        .otherwise(F.lit("allow"))
+    )
+    return s.select(
+        "source",
+        "n_docs",
+        "dup_docs",
+        F.round(F.col("dup_docs") * 1.0 / F.col("n_docs"), 4).alias(
+            "dup_share"
+        ),
+        "pos_docs",
+        F.round(F.col("pos_docs") * 1.0 / F.col("n_docs"), 4).alias(
+            "pos_share"
+        ),
+        decision.alias("decision"),
+    )
