@@ -132,7 +132,23 @@ def admit(
 ) -> DataFrame:
     """Append ``priority_rank`` and ``admitted`` to robots-allowed
     candidates. Requires columns: domain, depth, score, url,
-    crawl_delay_s, max_per_round (from with_robots_decision)."""
+    crawl_delay_s, max_per_round (from with_robots_decision).
+
+    If the frame also carries ``adaptive_delay_s`` (observed-latency
+    backoff, seconds — see queries/frontiersched.crawl_adaptive_delay),
+    the effective delay is ``greatest(robots, adaptive)``: robots
+    crawl-delay is a FLOOR the site demanded, the adaptive delay is a
+    ceiling-protecting backoff the crawler measured. robots 0 (no
+    Crawl-delay directive) + a slow host correctly yields the adaptive
+    delay rather than unlimited capacity."""
+    if "adaptive_delay_s" in candidates.columns:
+        candidates = candidates.withColumn(
+            "crawl_delay_s",
+            F.greatest(
+                F.col("crawl_delay_s"),
+                F.coalesce(F.col("adaptive_delay_s"), F.lit(0.0)),
+            ),
+        )
     w = Window.partitionBy("domain").orderBy(
         F.asc("depth"), F.desc("score"), F.asc("url")
     )

@@ -55,6 +55,12 @@ from pixcrawler_spark.queries import scalepath as _scalepath  # noqa: F401
 from pixcrawler_spark.queries import pipeline as _pipeline  # noqa: F401
 from pixcrawler_spark.queries import media as _media  # noqa: F401
 from pixcrawler_spark.queries import jobops as _jobops  # noqa: F401
+# frontiersched's 3 queries (redirect resolve, Good-Turing novelty,
+# adaptive delay) are late-r04 additions registered here — PAST the
+# 50-cap, so the r04 window (q05-q20 + the round's headliners) is
+# undisturbed. Like text_source_reputation they are pytest-oracle-
+# covered now and first-priority candidates for the r05 window.
+from pixcrawler_spark.queries import frontiersched as _frontiersched  # noqa: F401,E501
 
 # Rotation fix-up: with roundfive/roundfour/trainprep registering first,
 # q18-q20 (rowless since r02) land at positions 51-53 — a THIRD round

@@ -78,3 +78,53 @@ def test_streaming_bucket_matches_batch_admit(spark, tmp_path):
     # and the full decision row set covers every candidate exactly once
     assert got.count() == cand.count()
     assert got.select("url").distinct().count() == cand.count()
+
+
+def test_adaptive_delay_tightens_capacity(spark):
+    """admit() with adaptive_delay_s: effective delay is
+    greatest(robots, adaptive); robots 0 + slow host => adaptive
+    governs instead of unlimited."""
+    cand = _candidates(spark)
+    base = cand.withColumn("max_per_round", F.lit(25))
+
+    # robots delay 2s, round 60s -> floor(60/2)=30 -> cap = 25 (max)
+    robots_only = pol.admit(
+        base.withColumn("crawl_delay_s", F.lit(2.0)), round_len_s=60.0
+    )
+    assert robots_only.where("admitted").count() == 5 * 25
+
+    # adaptive 6s > robots 2s -> floor(60/6)=10 per domain
+    adaptive = pol.admit(
+        base.withColumn("crawl_delay_s", F.lit(2.0)).withColumn(
+            "adaptive_delay_s", F.lit(6.0)
+        ),
+        round_len_s=60.0,
+    )
+    assert adaptive.where("admitted").count() == 5 * 10
+
+    # robots floor still wins when it is the larger: adaptive 1s
+    floor_wins = pol.admit(
+        base.withColumn("crawl_delay_s", F.lit(4.0)).withColumn(
+            "adaptive_delay_s", F.lit(1.0)
+        ),
+        round_len_s=60.0,
+    )
+    assert floor_wins.where("admitted").count() == 5 * 15
+
+    # no robots directive (0) + slow host: adaptive replaces unlimited
+    no_directive = pol.admit(
+        base.withColumn("crawl_delay_s", F.lit(0.0)).withColumn(
+            "adaptive_delay_s", F.lit(12.0)
+        ),
+        round_len_s=60.0,
+    )
+    assert no_directive.where("admitted").count() == 5 * 5
+
+    # null adaptive (domain with no latency history) degrades to robots
+    null_adaptive = pol.admit(
+        base.withColumn("crawl_delay_s", F.lit(2.0)).withColumn(
+            "adaptive_delay_s", F.lit(None).cast("double")
+        ),
+        round_len_s=60.0,
+    )
+    assert null_adaptive.where("admitted").count() == 5 * 25
