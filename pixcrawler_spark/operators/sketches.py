@@ -297,3 +297,82 @@ def kmv_estimate_col(kth_hv: Column) -> Column:
         * F.lit(float(1 << HASH_BITS))
         / kth_hv.cast("double")
     )
+
+
+# --------------------------------------------------------------------------
+# Mergeable fixed-bin histogram (quantile telemetry)
+# --------------------------------------------------------------------------
+# The same partial-agg shape as CMS: per-group bin counts SUM-combine
+# across partitions, rounds, and streaming windows, where exact
+# percentiles cannot merge. Quantiles read as the upper edge of the
+# first bin whose cumulative count crosses the rank — error bounded by
+# one bin width. Extracted from queries/roundfive.py's
+# sketch_histogram_quantiles so the streaming windowed build
+# (streaming/ingest.windowed_value_histogram) shares the exact binning.
+HIST_BINS = 256
+HIST_MAX = 512.0
+HIST_W = HIST_MAX / HIST_BINS
+
+
+def hist_bin(value: Column, bins: int = HIST_BINS, vmax: float = HIST_MAX) -> Column:
+    """Clamped fixed-width bin index for ``value`` (>= 0)."""
+    w = vmax / bins
+    return F.least(F.floor(value / F.lit(w)).cast("bigint"), F.lit(bins - 1))
+
+
+def hist_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    value: Column,
+    bins: int = HIST_BINS,
+    vmax: float = HIST_MAX,
+) -> DataFrame:
+    """Per-group bin-count registers: ONE SUM-combinable groupBy whose
+    exchange carries <= groups x bins rows regardless of input size."""
+    return (
+        df.select(*group_cols, hist_bin(value, bins, vmax).alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+
+
+def hist_quantiles(
+    registers: DataFrame,
+    group_cols: list[str],
+    ps: tuple[float, ...] = (0.50, 0.95, 0.99),
+    bins: int = HIST_BINS,
+    vmax: float = HIST_MAX,
+) -> DataFrame:
+    """Fold registers (group_cols, bin, c) to per-group quantile
+    estimates — runs over the tiny register frame only (the window
+    partitions <= groups x bins rows), never the raw stream."""
+    from pyspark.sql import Window
+
+    w = vmax / bins
+    wt = Window.partitionBy(*group_cols)
+    wc = wt.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = registers.select(
+        *group_cols,
+        "bin",
+        F.sum("c").over(wc).alias("cc"),
+        F.sum("c").over(wt).alias("n"),
+    )
+
+    def q(p: float) -> Column:
+        return F.round(
+            F.min(
+                F.when(
+                    F.col("cc") >= F.lit(p) * F.col("n"),
+                    (F.col("bin") + 1) * F.lit(w),
+                )
+            ),
+            4,
+        )
+
+    return cum.groupBy(*group_cols).agg(
+        F.max("n").cast("bigint").alias("n"),
+        *[
+            q(p).alias(f"p{int(round(p * 100))}_est")
+            for p in ps
+        ],
+    )

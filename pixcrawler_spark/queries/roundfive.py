@@ -849,9 +849,11 @@ def graph_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # sketch_histogram_quantiles — mergeable fixed-bin quantile estimates
 # ---------------------------------------------------------------------------
-HIST_BINS = 256
-HIST_MAX = 512.0  # events.value ranges 0..~490; one fixed bin width
-HIST_W = HIST_MAX / HIST_BINS
+# binning shared with the streaming windowed build (operators/sketches
+# owns the constants; events.value ranges 0..~490 — one fixed bin width)
+HIST_BINS = sk.HIST_BINS
+HIST_MAX = sk.HIST_MAX
+HIST_W = sk.HIST_W
 
 
 @register(
@@ -896,41 +898,8 @@ HIST_W = HIST_MAX / HIST_BINS
 )
 def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    bin_ = F.least(
-        F.floor(F.col("value") / HIST_W).cast("bigint"),
-        F.lit(HIST_BINS - 1),
-    )
-    h = ev.select("event_type", bin_.alias("bin")).groupBy(
-        "event_type", "bin"
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    from pyspark.sql import Window
-
-    wt = Window.partitionBy("event_type")
-    wc = wt.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
-    cum = h.select(
-        "event_type",
-        "bin",
-        F.sum("c").over(wc).alias("cc"),
-        F.sum("c").over(wt).alias("n"),
-    )
-
-    def q(p: float) -> Column:
-        return F.round(
-            F.min(
-                F.when(
-                    F.col("cc") >= F.lit(p) * F.col("n"),
-                    (F.col("bin") + 1) * F.lit(HIST_W),
-                )
-            ),
-            4,
-        )
-
-    return cum.groupBy("event_type").agg(
-        F.max("n").cast("bigint").alias("n"),
-        q(0.50).alias("p50_est"),
-        q(0.95).alias("p95_est"),
-        q(0.99).alias("p99_est"),
-    )
+    h = sk.hist_counts(ev, ["event_type"], F.col("value"))
+    return sk.hist_quantiles(h, ["event_type"])
 
 
 # ---------------------------------------------------------------------------

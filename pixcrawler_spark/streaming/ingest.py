@@ -143,6 +143,47 @@ def windowed_cms_counters(
     )
 
 
+def windowed_value_histogram(
+    pages: DataFrame,
+    value: "F.Column",
+    key: "F.Column",
+    watermark: str = "1 hour",
+    window: str = "1 day",
+) -> DataFrame:
+    """Streaming quantile telemetry: per-window fixed-bin value
+    histograms per key (operators/sketches.py hist_* — the same
+    binning the batch sketch_histogram_quantiles query uses).
+
+    Like the HLL/CMS register streams above, this is ONE watermarked
+    stateful aggregation with bounded state — at most HIST_BINS (=256)
+    counter rows per (window, key) regardless of volume — and
+    SUM-merged bins are identical to the batch build over the same
+    data (parity asserted in tests/test_streaming.py). This is the
+    continuous feed for the latency-adaptive politeness delay
+    (queries/frontiersched.crawl_adaptive_delay): quantiles fold at
+    READ time via ``sketches.hist_quantiles`` over the sink, and two
+    windows' histograms ADD where exact percentiles cannot merge."""
+    from pixcrawler_spark.operators import sketches as sk
+
+    return (
+        pages.withWatermark("warc_ts", watermark)
+        .select(
+            F.window("warc_ts", window).alias("w"),
+            key.alias("key"),
+            sk.hist_bin(value).alias("bin"),
+        )
+        .groupBy("w", "key", "bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "key",
+            "bin",
+            "c",
+        )
+    )
+
+
 def stream_unseen_urls(pages: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming URL-seen set: stateful ``dropDuplicates`` on url with
     a watermark bound on state (the streaming analog of the batch

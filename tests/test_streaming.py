@@ -257,3 +257,80 @@ def test_windowed_cms_matches_batch(spark, pages_stream_dir):
         | F.col("cnt_b").isNull()
         | (F.col("cnt") != F.col("cnt_b"))
     ).count() == 0
+
+
+def test_windowed_histogram_matches_batch_and_bounds_quantiles(
+    spark, pages_stream_dir
+):
+    """Streaming histogram registers == batch registers over the same
+    data (SUM-merge determinism), and the folded p95 estimate is within
+    one bin width ABOVE the exact p95 (upper-edge read-out)."""
+    from pixcrawler_spark.operators import sketches as sk
+    from pixcrawler_spark.streaming.ingest import windowed_value_histogram
+
+    # deterministic pseudo-latency per url (no latency col in PAGES_SCHEMA)
+    latency = (F.abs(F.hash("url")) % 500).cast("double")
+
+    src = stream_pages(spark, pages_stream_dir)
+    q = (
+        windowed_value_histogram(
+            src, latency, F.col("lang"), watermark="1 hour", window="1 day"
+        )
+        .writeStream.format("memory")
+        .queryName("histreg")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = spark.sql("SELECT * FROM histreg")
+
+    batch_rows = spark.read.parquet(pages_stream_dir).select(
+        F.window("warc_ts", "1 day").alias("w"),
+        F.col("lang").alias("key"),
+        latency.alias("latency"),
+    ).select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "key",
+        "latency",
+    )
+    batch_reg = sk.hist_counts(
+        batch_rows,
+        ["window_start", "window_end", "key"],
+        F.col("latency"),
+    )
+
+    # register-level identity: same (window, key, bin) -> same count
+    joined = streamed.withColumnRenamed("c", "c_s").join(
+        batch_reg.withColumnRenamed("c", "c_b"),
+        ["window_start", "window_end", "key", "bin"],
+        "full",
+    )
+    assert joined.where(
+        F.col("c_s").isNull()
+        | F.col("c_b").isNull()
+        | (F.col("c_s") != F.col("c_b"))
+    ).count() == 0
+
+    # folded p95 within one bin width above the discrete p95 order
+    # statistic (rank ceil(0.95 n) sits IN the crossing bin, so the
+    # upper-edge read-out bounds it from above by <= one bin width)
+    import math
+
+    est = {
+        (r["window_start"], r["key"]): r["p95_est"]
+        for r in sk.hist_quantiles(
+            streamed, ["window_start", "window_end", "key"]
+        ).collect()
+    }
+    pdf = batch_rows.toPandas()
+    exact = {}
+    for (ws, _we, key), grp in pdf.groupby(
+        ["window_start", "window_end", "key"]
+    ):
+        v = sorted(grp["latency"])
+        exact[(ws, key)] = v[math.ceil(0.95 * len(v)) - 1]
+    assert est.keys() == exact.keys() and len(est) > 0
+    for k, e in est.items():
+        assert exact[k] <= e <= exact[k] + sk.HIST_W, (k, e, exact[k])
