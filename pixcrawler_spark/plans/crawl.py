@@ -184,6 +184,17 @@ class CrawlConfig:
     # periodic override (0 = off); ratio 0 disables the ratio trigger.
     compact_ratio: float = 0.25
     compact_every: int = 0
+    # Resolve redirect aliases to their chain-terminal url BEFORE any
+    # url enters the frontier (seeds and discovered outlinks), so the
+    # seen set and politeness budgets are charged to the page actually
+    # fetched and an alias is never crawled separately from its
+    # target. Requires a redirects DataFrame (src, dst) passed to the
+    # engine; cycle members (redirect loops — crawler traps) are
+    # dropped at the door. Pointer doubling: log2(chain) equi-joins
+    # per round over the enqueue-time DELTA only
+    # (operators/redirects.py). OFF by default: the golden/oracle
+    # surface is byte-identical with the flag off.
+    resolve_redirects: bool = False
 
     def validate(self) -> None:
         if not self.seeds:
@@ -218,6 +229,7 @@ class CrawlEngine:
         store: TableStore,
         config: CrawlConfig,
         static_store: TableStore | None = None,
+        redirects: DataFrame | None = None,
     ):
         config.validate()
         self.spark = spark
@@ -238,17 +250,47 @@ class CrawlEngine:
             if isinstance(robots_path, DataFrame)
             else spark.read.parquet(robots_path)
         )
+        self.redirects = redirects
+        if config.resolve_redirects and redirects is None:
+            raise ValueError(
+                "resolve_redirects=True requires a redirects DataFrame"
+            )
+
+    def _resolve_aliases(self, rows: DataFrame) -> DataFrame:
+        """Map every url in ``rows`` to its redirect-chain terminal,
+        dropping cycle members (operators/redirects.py pointer
+        doubling). No-op unless cfg.resolve_redirects. Runs over the
+        enqueue-time delta only — never the accumulated frontier —
+        and before domain stamping, because the TERMINAL's host is
+        the one whose politeness budget the fetch spends."""
+        if not self.config.resolve_redirects:
+            return rows
+        from pixcrawler_spark.operators.redirects import resolve_redirects
+
+        res = resolve_redirects(
+            rows.select("url").dropDuplicates(["url"]), self.redirects
+        )
+        keep = res.where(~F.col("is_cycle")).select("url", "final_url")
+        other = [c for c in rows.columns if c != "url"]
+        # inner join: cycle members are dropped at the door
+        return rows.join(keep, "url").select(
+            F.col("final_url").alias("url"), *other
+        )
 
     # -- state ---------------------------------------------------------------
     def frontier_from(self, urls_df: DataFrame) -> DataFrame:
         """Build a depth-0 frontier from any DataFrame with a url column
         (used by run() for config seeds and by the bench harness to seed
         the whole corpus without a driver-side list). Drops duplicate
-        urls (frontier invariant)."""
+        urls (frontier invariant; redirect aliases collapse to their
+        terminal first when cfg.resolve_redirects, so two seed aliases
+        of one page yield one frontier row)."""
         cfg = self.config
         depth = F.lit(0)
         engine = _engine_expr(depth, cfg.engines)
-        rows = urls_df.select("url").dropDuplicates(["url"]).select(
+        rows = self._resolve_aliases(
+            urls_df.select("url").dropDuplicates(["url"])
+        ).dropDuplicates(["url"]).select(
             "url",
             pol.domain_expr("url").alias("domain"),
             depth.cast("int").alias("depth"),
@@ -508,6 +550,10 @@ class CrawlEngine:
         discovered = links.join(fetched_urls.hint("merge"), "url").select(
             next_depth.alias("depth"), F.explode("outlinks").alias("url")
         )
+        # alias collapse BEFORE the seen join/dedup: an outlink to a
+        # redirect alias is a discovery of its terminal (no-op unless
+        # cfg.resolve_redirects)
+        discovered = self._resolve_aliases(discovered)
         engine = _engine_expr(F.col("depth"), cfg.engines)
         # politeness stamp happens later, on the deduped seen-filtered
         # delta (run_round.job_frontier) — the smallest possible set
