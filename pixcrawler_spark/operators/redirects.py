@@ -67,6 +67,7 @@ def resolve_redirects(
         F.col(dst_col).alias("reach"),
         F.lit(1).cast("int").alias("steps"),
     )
+    prev = None
     for _ in range(max_doublings):
         b = jump.select(
             F.col("n").alias("b_n"),
@@ -82,7 +83,29 @@ def resolve_redirects(
                     F.col("steps") + F.coalesce("b_steps", F.lit(0))
                 ).alias("steps"),
             )
+            # each doubling references the previous J TWICE (probe and
+            # build side of the self-join); without a persist per
+            # round the lineage re-evaluates 2^max_doublings times —
+            # the same exponential-lineage trap the CC loop hit
+            # (operators/trainprep.connected_components). Measured on
+            # the sf0.01 oracle fixture: 558-node physical plan (64
+            # re-scans of edges) unpersisted vs ~3 joins per doubling
+            # persisted.
+            .persist()
         )
+        # materialize BEFORE releasing the previous level — an
+        # unpersisted-but-unmaterialized J would recompute through its
+        # (also released) parent and the blowup returns. One count per
+        # doubling; each is the join work the algorithm does anyway.
+        jump.count()
+        if prev is not None:
+            prev.unpersist()
+        prev = jump
+    # the final J stays cached until the caller's action completes;
+    # it is exposed on the result as ``_doubling_cached`` so callers
+    # that persist+materialize the RESULT (e.g. the crawl engine's
+    # once-per-crawl alias map) can release it; the registry query
+    # wrapper's clearCache covers the oracle path.
 
     # terminal test: reach still redirects somewhere => chain did not
     # terminate inside the budget => cycle (or pathologically long
@@ -104,7 +127,7 @@ def resolve_redirects(
             F.col("_open").isNotNull().alias("is_cycle"),
         )
     )
-    return (
+    out = (
         nodes.select(F.col(url_col))
         .join(resolved, url_col, "left")
         .select(
@@ -114,3 +137,5 @@ def resolve_redirects(
             F.coalesce("is_cycle", F.lit(False)).alias("is_cycle"),
         )
     )
+    out._doubling_cached = jump  # see loop comment above
+    return out

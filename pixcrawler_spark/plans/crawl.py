@@ -251,30 +251,51 @@ class CrawlEngine:
             else spark.read.parquet(robots_path)
         )
         self.redirects = redirects
+        self._alias_map_df: DataFrame | None = None
         if config.resolve_redirects and redirects is None:
             raise ValueError(
                 "resolve_redirects=True requires a redirects DataFrame"
             )
 
+    def _alias_map(self) -> DataFrame:
+        """Resolve the (static) redirect map ONCE per crawl: pointer
+        doubling runs over the alias universe a single time, and every
+        round pays only one equi-join of its enqueue delta against the
+        persisted (alias → terminal, is_cycle) map — never the log-hop
+        join cascade per round."""
+        if self._alias_map_df is None:
+            from pixcrawler_spark.operators.redirects import (
+                resolve_redirects,
+            )
+
+            aliases = self.redirects.select(
+                F.col("src").alias("url")
+            ).dropDuplicates(["url"])
+            res = resolve_redirects(aliases, self.redirects)
+            m = res.select("url", "final_url", "is_cycle").persist()
+            m.count()  # materialize, then release doubling internals
+            cached = getattr(res, "_doubling_cached", None)
+            if cached is not None:
+                cached.unpersist()
+            self._alias_map_df = m
+        return self._alias_map_df
+
     def _resolve_aliases(self, rows: DataFrame) -> DataFrame:
         """Map every url in ``rows`` to its redirect-chain terminal,
-        dropping cycle members (operators/redirects.py pointer
-        doubling). No-op unless cfg.resolve_redirects. Runs over the
-        enqueue-time delta only — never the accumulated frontier —
-        and before domain stamping, because the TERMINAL's host is
-        the one whose politeness budget the fetch spends."""
+        dropping cycle members (crawler traps). No-op unless
+        cfg.resolve_redirects. Runs over the enqueue-time delta only —
+        never the accumulated frontier — and before domain stamping,
+        because the TERMINAL's host is the one whose politeness budget
+        the fetch spends."""
         if not self.config.resolve_redirects:
             return rows
-        from pixcrawler_spark.operators.redirects import resolve_redirects
-
-        res = resolve_redirects(
-            rows.select("url").dropDuplicates(["url"]), self.redirects
-        )
-        keep = res.where(~F.col("is_cycle")).select("url", "final_url")
+        m = self._alias_map()
         other = [c for c in rows.columns if c != "url"]
-        # inner join: cycle members are dropped at the door
-        return rows.join(keep, "url").select(
-            F.col("final_url").alias("url"), *other
+        joined = rows.join(m, "url", "left")
+        return joined.where(
+            F.col("is_cycle").isNull() | ~F.col("is_cycle")
+        ).select(
+            F.coalesce("final_url", F.col("url")).alias("url"), *other
         )
 
     # -- state ---------------------------------------------------------------
