@@ -59,6 +59,7 @@ def with_robots_decision(
     robots: DataFrame,
     url_col: str = "url",
     broadcast: bool = False,
+    wildcards: bool = False,
 ) -> DataFrame:
     """Join robots rules; append ``robots_denied`` bool and the
     domain's politeness parameters (defaults for unknown domains).
@@ -92,11 +93,22 @@ def with_robots_decision(
     joined = candidates.join(r, "domain", "left")
     path = path_expr(url_col)
     if has_allow:
-        from pixcrawler_spark.operators.robots import rfc_allowed_expr
+        from pixcrawler_spark.operators.robots import (
+            rfc_allowed_expr,
+            rfc_allowed_glob_expr,
+        )
 
+        # wildcards=True: full RFC 9309 patterns ('*', trailing '$')
+        # via the glob fold — identical to the prefix matcher on
+        # wildcard-free rule sets (a rule with no '*'/'$' degrades to
+        # startswith with the same specificity), so enabling it only
+        # changes behavior for stores that actually carry wildcard
+        # rules. Off by default: the golden/oracle fixtures are
+        # prefix-only and keep the cheaper matcher.
+        allowed_fn = rfc_allowed_glob_expr if wildcards else rfc_allowed_expr
         denied = F.when(
             F.col("_dis").isNotNull() & F.col(url_col).isNotNull(),
-            ~rfc_allowed_expr(path, F.col("_allow"), F.col("_dis")),
+            ~allowed_fn(path, F.col("_allow"), F.col("_dis")),
         ).otherwise(F.lit(False))
     else:
         denied = F.when(

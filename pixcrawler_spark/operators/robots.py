@@ -201,3 +201,127 @@ def sitemap_urls(body_col: Column) -> Column:
     return F.transform(
         maps, lambda l: F.trim(F.regexp_replace(l, r"(?i)^sitemap\s*:", ""))
     )
+
+
+# ---------------------------------------------------------------------------
+# RFC 9309 §2.2.3 wildcard path patterns: '*' (any sequence) and a
+# trailing '$' (end-of-path anchor)
+# ---------------------------------------------------------------------------
+# The prefix-only matcher above (rfc_allowed_expr) covers the rule
+# subset the engine's own parse layer stores; real-web robots bodies
+# also use '*' and '$' (RFC 9309 permits both, and the large crawlers
+# honor them). This matcher implements the full pattern language as
+# pure JVM array/string folds — no regex compilation per row, no
+# Python: a pattern is split on '*' into literal segments; the path
+# must start with the first segment and contain the remaining
+# segments in order (greedy leftmost, the standard correct strategy
+# for '*'-only globs); a trailing '$' additionally requires the last
+# segment to END the path at/after the greedy position. Unanchored
+# patterns keep robots prefix semantics (the pattern matches a PREFIX
+# of the path, so whatever follows the last segment is free).
+#
+# Differential-fuzz tested against a scalar Python reference on
+# arbitrary rule/path strings (tests/test_robots.py), the same
+# verification pattern as operators/traps.py.
+
+
+def _glob_fold(path: Column, segs: Column, seg0: Column, n_drop: int) -> Column:
+    """Greedy in-order containment of segs[2..size-n_drop+1] in
+    ``path`` starting after seg0. Returns struct(pos, ok)."""
+    mids = F.slice(
+        segs, 2, F.greatest(F.size(segs) - F.lit(n_drop), F.lit(0))
+    )
+    init = F.struct(
+        (F.length(seg0) + F.lit(1)).alias("pos"),
+        path.startswith(seg0).alias("ok"),
+    )
+    return F.aggregate(
+        mids,
+        init,
+        lambda acc, s: F.struct(
+            F.when(s == "", acc["pos"])
+            .otherwise(
+                F.call_function("locate", s, path, acc["pos"])
+                + F.length(s)
+            )
+            .alias("pos"),
+            (
+                acc["ok"]
+                & (
+                    (s == "")
+                    | (F.call_function("locate", s, path, acc["pos"]) > 0)
+                )
+            ).alias("ok"),
+        ),
+    )
+
+
+def robots_glob_match(path: Column, rule: Column) -> Column:
+    """True iff RFC 9309 path pattern ``rule`` matches ``path``."""
+    anchored = rule.endswith("$")
+    pat = F.regexp_replace(rule, r"\$$", "")
+    segs = F.split(pat, r"\*", -1)
+    seg0 = F.element_at(segs, 1)
+    last = F.element_at(segs, -1)
+
+    unanchored_ok = _glob_fold(path, segs, seg0, 1)["ok"]
+    # anchored, no '*': the pattern must equal the whole path
+    exact_ok = path == pat
+    # anchored with '*': greedy-match all but the last segment, then
+    # the last segment must end the path at/after the greedy position
+    r = _glob_fold(path, segs, seg0, 2)
+    anchored_ok = (
+        r["ok"]
+        & path.endswith(last)
+        & (F.length(path) - F.length(last) + 1 >= r["pos"])
+    )
+    return F.when(
+        ~anchored, unanchored_ok
+    ).otherwise(F.when(F.size(segs) == 1, exact_ok).otherwise(anchored_ok))
+
+
+def rfc_allowed_glob_expr(
+    path: Column, allow_col: Column, dis_col: Column
+) -> Column:
+    """rfc_allowed_expr generalized to wildcard rules: longest-match
+    precedence where specificity is the RULE's octet length (the
+    robots.cc convention; RFC 9309 'most octets'), Allow wins ties."""
+
+    def best_len(rules: Column) -> Column:
+        return F.aggregate(
+            F.filter(
+                F.coalesce(rules, F.array().cast("array<string>")),
+                lambda rl: robots_glob_match(path, rl),
+            ),
+            F.lit(-1),
+            lambda acc, rl: F.greatest(acc, F.length(rl)),
+        )
+
+    a = best_len(allow_col)
+    d = best_len(dis_col)
+    return (d == -1) | (a >= d)
+
+
+def robots_glob_match_py(path: str, rule: str) -> bool:
+    """Scalar reference for differential fuzzing — same semantics as
+    robots_glob_match, independent implementation."""
+    anchored = rule.endswith("$")
+    pat = rule[:-1] if anchored else rule
+    segs = pat.split("*")
+    if anchored and len(segs) == 1:
+        return path == pat
+    if not path.startswith(segs[0]):
+        return False
+    pos = len(segs[0])
+    tail = segs[1:-1] if anchored else segs[1:]
+    for s in tail:
+        if s == "":
+            continue
+        i = path.find(s, pos)
+        if i < 0:
+            return False
+        pos = i + len(s)
+    if anchored:
+        last = segs[-1]
+        return path.endswith(last) and len(path) - len(last) >= pos
+    return True

@@ -211,3 +211,96 @@ def crawl_adaptive_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.lit(10000.0), F.greatest(F.lit(100.0), 2.0 * p95)), 4
         ).alias("crawl_delay_ms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# crawl_robots_wildcards — RFC 9309 '*' / '$' pattern matching
+# ---------------------------------------------------------------------------
+# Paths synthesized from part (p_name words + p_type tier); rules are
+# FIXED literals chosen to exercise every pattern shape: plain prefix,
+# contains (*x*), star+end-anchor, pure end-anchor, and three
+# longest-match precedence duels (allow beats shorter dis, dis beats
+# shorter allow). The Spark side matches through the real glob fold
+# (operators/robots.py robots_glob_match — no regex, no Python); the
+# oracle states each rule as a HAND-TRANSLATED regex, so a fold bug
+# cannot reproduce itself in the oracle.
+_WC_DIS = ["/cold", "*bolt*", "/blue*economy$", "*promo$"]
+_WC_ALLOW = ["/cold/widget", "*bolt*economy$", "/blue*"]
+_WC_DIS_RE = ["^/cold", "^.*bolt", "^/blue.*economy$", "^.*promo$"]
+_WC_ALLOW_RE = ["^/cold/widget", "^.*bolt.*economy$", "^/blue"]
+
+
+def _wc_oracle() -> str:
+    dis = ", ".join(
+        f"CASE WHEN regexp_matches(p, '{re}') THEN {len(r)} ELSE -1 END"
+        for r, re in zip(_WC_DIS, _WC_DIS_RE)
+    )
+    allow = ", ".join(
+        f"CASE WHEN regexp_matches(p, '{re}') THEN {len(r)} ELSE -1 END"
+        for r, re in zip(_WC_ALLOW, _WC_ALLOW_RE)
+    )
+    return f"""
+    WITH paths AS (
+      SELECT DISTINCT '/' || replace(p_name, ' ', '/')
+             || '/' || lower(p_type) AS p
+      FROM part
+    ),
+    scored AS (
+      SELECT p, GREATEST({dis}) AS dis_len, GREATEST({allow}) AS allow_len
+      FROM paths
+    )
+    SELECT p AS url_path,
+           CAST(dis_len AS INT) AS dis_len,
+           CAST(allow_len AS INT) AS allow_len,
+           (dis_len = -1 OR allow_len >= dis_len) AS allowed
+    FROM scored
+    """
+
+
+@register(
+    "crawl_robots_wildcards",
+    oracle=_wc_oracle(),
+    doc="Full RFC 9309 path patterns ('*' any-sequence, trailing '$' "
+    "end anchor) with longest-match precedence over a mixed "
+    "allow/disallow rule set, computed by the pure-JVM glob fold "
+    "(split-on-star + greedy in-order locate — zero regex "
+    "compilation per row, zero Python). Oracle re-states every rule "
+    "as a hand-translated regex; differential fuzz vs a scalar "
+    "reference in tests/test_robots.py.",
+)
+def crawl_robots_wildcards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pixcrawler_spark.operators.robots import robots_glob_match
+
+    part = load_table(spark, sf_dir, "part")
+    paths = part.select(
+        F.concat(
+            F.lit("/"),
+            F.regexp_replace(F.col("p_name"), " ", "/"),
+            F.lit("/"),
+            F.lower(F.col("p_type")),
+        ).alias("url_path")
+    ).dropDuplicates(["url_path"])
+
+    def best_len(rules: list[str]) -> F.Column:
+        return F.aggregate(
+            F.filter(
+                F.array(*[F.lit(r) for r in rules]),
+                lambda rl: robots_glob_match(F.col("url_path"), rl),
+            ),
+            F.lit(-1),
+            lambda acc, rl: F.greatest(acc, F.length(rl).cast("int")),
+        ).cast("int")
+
+    return paths.select(
+        "url_path",
+        best_len(_WC_DIS).alias("dis_len"),
+        best_len(_WC_ALLOW).alias("allow_len"),
+    ).select(
+        "url_path",
+        "dis_len",
+        "allow_len",
+        (
+            (F.col("dis_len") == -1)
+            | (F.col("allow_len") >= F.col("dis_len"))
+        ).alias("allowed"),
+    )

@@ -4,6 +4,8 @@ checked against a straight-line Python oracle."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from pixcrawler_spark.operators.robots import parse_robots
 
 
@@ -226,3 +228,190 @@ def test_rfc_allow_plan_stays_jvm(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# RFC 9309 wildcard matcher ('*' / trailing '$'): semantics +
+# differential fuzz vs the scalar Python reference, one Spark batch
+# (the operators/traps.py verification pattern).
+# ---------------------------------------------------------------------------
+def test_glob_match_rfc_examples(spark):
+    """The RFC/Google documentation examples, plus the edge shapes the
+    fold has to get right (empty rule, bare '*', bare '$', '**')."""
+    from pixcrawler_spark.operators.robots import (
+        robots_glob_match,
+        robots_glob_match_py,
+    )
+
+    cases = [
+        # (path, rule, expected)
+        ("/fish", "/fish", True), ("/fishheads", "/fish", True),
+        ("/Fish", "/fish", False), ("/catfish", "/fish", False),
+        ("/fish/salmon", "/fish/", True), ("/fish", "/fish/", False),
+        ("/filename.php", "/*.php", True),
+        ("/folder/filename.php?p", "/*.php", True),
+        ("/index.php5", "/*.php", True),
+        ("/filename.php", "/*.php$", True),
+        ("/filename.php?p", "/*.php$", False),
+        ("/fish.php", "/fish*.php", True),
+        ("/fishheads/catfish.php?p", "/fish*.php", True),
+        ("/fish.PHP", "/fish*.php", False),
+        ("/a/b", "", True), ("/a/b", "*", True),
+        ("", "$", True), ("/x", "$", False),
+        ("/ab", "/a**b", True), ("/aXbYbZ", "/a*b$", False),
+        ("/aXbYb", "/a*b$", True),
+    ]
+    df = spark.createDataFrame(
+        [(p, r) for p, r, _ in cases], "path string, rule string"
+    )
+    got = {
+        (r["path"], r["rule"]): r["m"]
+        for r in df.select(
+            "path",
+            "rule",
+            robots_glob_match(F.col("path"), F.col("rule")).alias("m"),
+        ).collect()
+    }
+    for p, r, want in cases:
+        assert got[(p, r)] == want, (p, r)
+        assert robots_glob_match_py(p, r) == want, (p, r)
+
+
+def test_glob_match_differential_fuzz(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pixcrawler_spark.operators.robots import (
+        robots_glob_match,
+        robots_glob_match_py,
+    )
+
+    collected: list[tuple[str, str]] = []
+
+    @settings(
+        max_examples=400,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(
+        st.text(alphabet="ab/$.*xyz0", min_size=0, max_size=16),
+        st.text(alphabet="ab/$.*xyz0", min_size=0, max_size=12),
+    )
+    def _collect(path, rule):
+        collected.append((path, rule))
+
+    _collect()
+    corpus = sorted(set(collected))
+    assert len(corpus) > 100
+    df = spark.createDataFrame(corpus, "path string, rule string")
+    got = df.select(
+        "path",
+        "rule",
+        robots_glob_match(F.col("path"), F.col("rule")).alias("m"),
+    ).collect()
+    for r in got:
+        want = robots_glob_match_py(r["path"], r["rule"])
+        assert r["m"] == want, (r["path"], r["rule"], r["m"], want)
+
+
+def test_glob_allow_precedence_and_jvm_plan(spark):
+    """Wildcard longest-match precedence (rule octet length, Allow on
+    ties) and a Python-free physical plan."""
+    from pixcrawler_spark.operators.robots import rfc_allowed_glob_expr
+
+    rows = [
+        # dis '*bolt*' (6) vs allow '*bolt*economy$' (14): allow wins
+        ("/large/bolt/economy", True),
+        ("/large/bolt/promo", False),
+        # dis '/cold' (5) vs allow '/cold/widget' (12): allow wins
+        ("/cold/widget/x", True),
+        ("/cold/rod", False),
+        # no rule matches
+        ("/pink/gear", True),
+        # tie: allow '/t*' (3) vs dis '/tx$' (4) -> dis more specific
+        ("/tx", False),
+        ("/ty", True),
+    ]
+    df = spark.createDataFrame([(p,) for p, _ in rows], "path string")
+    out = df.select(
+        "path",
+        rfc_allowed_glob_expr(
+            F.col("path"),
+            F.array(
+                F.lit("*bolt*economy$"), F.lit("/cold/widget"), F.lit("/t*")
+            ),
+            F.array(
+                F.lit("*bolt*"), F.lit("/cold"), F.lit("/tx$")
+            ),
+        ).alias("allowed"),
+    )
+    got = {r["path"]: r["allowed"] for r in out.collect()}
+    for p, want in rows:
+        assert got[p] == want, p
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_with_robots_decision_wildcards(spark):
+    """The production robots join honors wildcard rules when
+    wildcards=True, and wildcard-free rule sets decide identically
+    under both matchers."""
+    from pixcrawler_spark.operators.politeness import with_robots_decision
+
+    cand = spark.createDataFrame(
+        [
+            ("https://a.ex/p/file.php?x=1", "a.ex"),
+            ("https://a.ex/p/file.html", "a.ex"),
+            ("https://a.ex/private/file.php", "a.ex"),
+            ("https://b.ex/anything", "b.ex"),
+        ],
+        "url string, domain string",
+    )
+    rules = spark.createDataFrame(
+        [
+            # rules in the engine's stored '/'-stripped form
+            ("a.ex", ["*.php"], ["private*.php$"], 1.0, 100),
+            ("b.ex", [""], [], 1.0, 100),
+        ],
+        "domain string, disallow_prefixes array<string>, "
+        "allow_prefixes array<string>, crawl_delay_s double, "
+        "max_per_round int",
+    )
+    out = with_robots_decision(cand, rules, broadcast=True, wildcards=True)
+    got = {r["url"]: r["robots_denied"] for r in out.collect()}
+    # '*.php' denies any path containing .php ...
+    assert got["https://a.ex/p/file.php?x=1"] is True
+    assert got["https://a.ex/p/file.html"] is False
+    # ... except the more specific anchored Allow for /private*.php
+    assert got["https://a.ex/private/file.php"] is False
+    # deny-all prefix rule still denies everything under wildcards=True
+    assert got["https://b.ex/anything"] is True
+
+    # equivalence on wildcard-free rules: both matchers, same decisions
+    plain = spark.createDataFrame(
+        [("a.ex", ["/private", ""], ["/private/pub"], 2.0, 50)],
+        "domain string, disallow_prefixes array<string>, "
+        "allow_prefixes array<string>, crawl_delay_s double, "
+        "max_per_round int",
+    )
+    cand2 = spark.createDataFrame(
+        [
+            ("https://a.ex/private/x", "a.ex"),
+            ("https://a.ex/private/pub/x", "a.ex"),
+            ("https://a.ex/open", "a.ex"),
+        ],
+        "url string, domain string",
+    )
+    d_prefix = {
+        r["url"]: r["robots_denied"]
+        for r in with_robots_decision(
+            cand2, plain, broadcast=True, wildcards=False
+        ).collect()
+    }
+    d_glob = {
+        r["url"]: r["robots_denied"]
+        for r in with_robots_decision(
+            cand2, plain, broadcast=True, wildcards=True
+        ).collect()
+    }
+    assert d_prefix == d_glob
