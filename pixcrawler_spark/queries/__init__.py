@@ -55,11 +55,13 @@ from pixcrawler_spark.queries import scalepath as _scalepath  # noqa: F401
 from pixcrawler_spark.queries import pipeline as _pipeline  # noqa: F401
 from pixcrawler_spark.queries import media as _media  # noqa: F401
 from pixcrawler_spark.queries import jobops as _jobops  # noqa: F401
-# frontiersched's 3 queries (redirect resolve, Good-Turing novelty,
-# adaptive delay) are late-r04 additions registered here — PAST the
-# 50-cap, so the r04 window (q05-q20 + the round's headliners) is
-# undisturbed. Like text_source_reputation they are pytest-oracle-
-# covered now and first-priority candidates for the r05 window.
+# frontiersched's 5 queries (redirect resolve, Good-Turing novelty,
+# adaptive delay, robots wildcards, SURT keys) are late-r04 additions registered
+# here — PAST the 50-cap, so the r04 window (q05-q20 + the round's
+# headliners) is undisturbed. Like text_source_reputation they are
+# pytest-oracle-covered now and, with it, the six queries the r05
+# window MUST include (no driver row in any round yet); the rest of
+# the r05 window should be the r04 overflow, all r03-green.
 from pixcrawler_spark.queries import frontiersched as _frontiersched  # noqa: F401,E501
 
 # Rotation fix-up: with roundfive/roundfour/trainprep registering first,

@@ -304,3 +304,114 @@ def crawl_robots_wildcards(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("allow_len") >= F.col("dis_len"))
         ).alias("allowed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# crawl_surt_keys — CDX-style Sort-friendly URI Reordering Transform
+# ---------------------------------------------------------------------------
+# The Common Crawl / web-archive URL-index convention: reverse the
+# host's labels (uk,co,example), drop the scheme and a leading www,
+# lowercase, and sort the query parameters — so one SORT/RANGE
+# PARTITION of the index clusters every url of a domain (and every
+# subdomain under a suffix) contiguously. At 10^10 urls this is what
+# turns "all pages of example.co.uk" from a full scan into a bounded
+# range scan, and it makes url-level dedup keys canonical (param order
+# no longer splits identical resources). Pure JVM string/array exprs
+# on both sides; the fixture urls exercise www-stripping, multi-label
+# suffixes, deep subdomains, and shuffled query params.
+@register(
+    "crawl_surt_keys",
+    oracle="""
+    WITH u AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 3 = 0
+                  THEN 'https://www.shop' || CAST(o_orderkey % 40 AS VARCHAR)
+                       || '.co.uk/P/' || CAST(o_orderkey AS VARCHAR)
+                       || '?b=' || CAST(o_orderkey % 7 AS VARCHAR) || '&a=1'
+                  WHEN o_orderkey % 3 = 1
+                  THEN 'http://cdn.img' || CAST(o_orderkey % 40 AS VARCHAR)
+                       || '.example.com/Asset/' || CAST(o_orderkey AS VARCHAR)
+                  ELSE 'https://site' || CAST(o_orderkey % 40 AS VARCHAR)
+                       || '.org/x?z=9&y=8&x=7'
+             END AS url
+      FROM orders
+    ),
+    parts AS (
+      SELECT url,
+             lower(regexp_replace(
+               regexp_extract(url, '^[a-z]+://([^/?]+)', 1),
+               '^www\\.', '')) AS host,
+             lower(regexp_extract(url, '^[a-z]+://[^/?]*([^?]*)', 1))
+               AS path,
+             regexp_extract(url, '\\?(.*)$', 1) AS q
+      FROM u
+    )
+    SELECT url,
+           list_aggr(list_reverse(string_split(host, '.')),
+                     'string_agg', ',')
+           || ')' || path
+           || CASE WHEN q = '' THEN ''
+                   ELSE '?' || list_aggr(list_sort(string_split(q, '&')),
+                                         'string_agg', '&') END
+             AS surt,
+           list_aggr(list_reverse(string_split(host, '.')),
+                     'string_agg', ',') AS host_rev
+    FROM parts
+    """,
+    doc="SURT canonical index keys (web-archive CDX convention): "
+    "host labels reversed + comma-joined, scheme and leading www "
+    "dropped, lowercased, query params sorted — sorting/range-"
+    "partitioning the index by this key clusters a domain's (and a "
+    "suffix's) urls contiguously, turning per-domain scans into "
+    "bounded range scans and making url dedup keys canonical under "
+    "param reordering. Pure JVM string/array exprs.",
+)
+def crawl_surt_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    ks = k.cast("string")
+    url = (
+        F.when(
+            k % 3 == 0,
+            F.concat(
+                F.lit("https://www.shop"), (k % 40).cast("string"),
+                F.lit(".co.uk/P/"), ks,
+                F.lit("?b="), (k % 7).cast("string"), F.lit("&a=1"),
+            ),
+        )
+        .when(
+            k % 3 == 1,
+            F.concat(
+                F.lit("http://cdn.img"), (k % 40).cast("string"),
+                F.lit(".example.com/Asset/"), ks,
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://site"), (k % 40).cast("string"),
+                F.lit(".org/x?z=9&y=8&x=7"),
+            )
+        )
+    )
+    u = o.select(url.alias("url"))
+    host = F.lower(
+        F.regexp_replace(
+            F.regexp_extract(F.col("url"), r"^[a-z]+://([^/?]+)", 1),
+            r"^www\.",
+            "",
+        )
+    )
+    path = F.lower(
+        F.regexp_extract(F.col("url"), r"^[a-z]+://[^/?]*([^?]*)", 1)
+    )
+    q = F.regexp_extract(F.col("url"), r"\?(.*)$", 1)
+    host_rev = F.concat_ws(",", F.reverse(F.split(host, r"\.")))
+    surt = F.concat(
+        host_rev,
+        F.lit(")"),
+        path,
+        F.when(q == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), F.array_join(F.array_sort(F.split(q, "&")), "&"))
+        ),
+    )
+    return u.select("url", surt.alias("surt"), host_rev.alias("host_rev"))
