@@ -58,8 +58,9 @@ from pixcrawler_spark.queries import jobops as _jobops  # noqa: F401
 # frontiersched's 5 queries (redirect resolve, Good-Turing novelty,
 # adaptive delay, robots wildcards, SURT keys) are late-r04 additions registered
 # here — PAST the 50-cap, so the r04 window (q05-q20 + the round's
-# headliners) is undisturbed. Like text_source_reputation they are
-# pytest-oracle-covered now and, with it, the six queries the r05
+# headliners) is undisturbed. They are
+# pytest-oracle-covered now and, with graph_hits_scores (urlgraph)
+# and text_source_reputation, the seven queries the r05
 # window MUST include (no driver row in any round yet); the rest of
 # the r05 window should be the r04 overflow, all r03-green.
 from pixcrawler_spark.queries import frontiersched as _frontiersched  # noqa: F401,E501

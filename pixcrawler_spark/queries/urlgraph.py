@@ -251,3 +251,107 @@ def graph_domain_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("node").alias("domain"), F.round("rank", 6).alias("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_hits_scores — hubs & authorities (Kleinberg HITS), 2 iterations
+# ---------------------------------------------------------------------------
+# The complementary quality signal to graph_domain_rank's PageRank:
+# authorities (linked-to by good hubs) identify content pages worth
+# keeping in a webtext corpus, hubs (linking to good authorities)
+# identify directory/aggregator pages worth crawling but often NOT
+# worth keeping. Same declared edge set as graph_domain_rank. Declared
+# semantics, identical both sides: h0 = 1 for every node;
+# a_{k+1}(v) = sum over in-neighbors u of h_k(u);
+# h_{k+1}(v) = sum over out-neighbors w of a_{k+1}(w); 2 iterations,
+# UNNORMALIZED — every score stays an exact integer, so the
+# cross-engine comparison is hash-exact with no float declaration.
+# (Production normalizes per iteration; the RANKING is what the
+# pipeline consumes and it is scale-invariant.) Each iteration is one
+# edges-to-scores join + one bounded-key aggregate — the identical
+# shuffle shape to the PageRank unroll, O(|E|) per step.
+_SQL_HITS = """
+    WITH edges AS (
+      SELECT DISTINCT CAST(user_id % 30 AS BIGINT) AS src,
+                      CAST(event_id % 29 AS BIGINT) AS dst
+      FROM events WHERE user_id % 30 <> event_id % 29
+    ),
+    nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ),
+    a1 AS (  -- auth_1 = indegree (h0 = 1)
+      SELECT dst AS node, COUNT(*)::BIGINT AS a FROM edges GROUP BY dst
+    ),
+    h1 AS (  -- hub_1(v) = sum of a1 over out-neighbors
+      SELECT e.src AS node, SUM(a1.a)::BIGINT AS h
+      FROM edges e JOIN a1 ON e.dst = a1.node GROUP BY e.src
+    ),
+    a2 AS (  -- auth_2(v) = sum of h1 over in-neighbors
+      SELECT e.dst AS node, SUM(h1.h)::BIGINT AS a
+      FROM edges e JOIN h1 ON e.src = h1.node GROUP BY e.dst
+    ),
+    h2 AS (  -- hub_2(v) = sum of a2 over out-neighbors
+      SELECT e.src AS node, SUM(a2.a)::BIGINT AS h
+      FROM edges e JOIN a2 ON e.dst = a2.node GROUP BY e.src
+    )
+    SELECT n.node,
+           COALESCE(a2.a, 0)::BIGINT AS authority,
+           COALESCE(h2.h, 0)::BIGINT AS hub
+    FROM nodes n
+    LEFT JOIN a2 ON n.node = a2.node
+    LEFT JOIN h2 ON n.node = h2.node
+"""
+
+
+@register(
+    "graph_hits_scores",
+    oracle=_SQL_HITS,
+    doc="Kleinberg HITS hubs/authorities over the link graph, 2 "
+    "unrolled iterations in exact integer arithmetic (unnormalized — "
+    "the consumed ranking is scale-invariant, and integers make the "
+    "oracle hash-exact). Authorities flag keepable content pages, "
+    "hubs flag crawl-worthy directory pages. One edges-to-scores "
+    "join + one bounded-key aggregate per iteration, the same "
+    "O(|E|)-shuffle shape as the PageRank unroll.",
+)
+def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    edges = (
+        ev.select(
+            (F.col("user_id") % 30).cast("bigint").alias("src"),
+            (F.col("event_id") % 29).cast("bigint").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .persist()  # four joins below; registry wrapper clears cache
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    a1 = edges.groupBy("dst").agg(F.count(F.lit(1)).cast("bigint").alias("a"))
+    h1 = (
+        edges.join(a1, "dst")
+        .groupBy("src")
+        .agg(F.sum("a").cast("bigint").alias("h"))
+    )
+    a2 = (
+        edges.join(h1, "src")
+        .groupBy("dst")
+        .agg(F.sum("h").cast("bigint").alias("a"))
+    )
+    h2 = (
+        edges.join(a2, "dst")
+        .groupBy("src")
+        .agg(F.sum("a").cast("bigint").alias("h"))
+    )
+    return (
+        nodes.join(a2.withColumnRenamed("dst", "node"), "node", "left")
+        .join(h2.withColumnRenamed("src", "node"), "node", "left")
+        .select(
+            "node",
+            F.coalesce("a", F.lit(0)).cast("bigint").alias("authority"),
+            F.coalesce("h", F.lit(0)).cast("bigint").alias("hub"),
+        )
+    )
