@@ -64,6 +64,9 @@ from pixcrawler_spark.queries import jobops as _jobops  # noqa: F401
 # window MUST include (no driver row in any round yet); the rest of
 # the r05 window should be the r04 overflow, all r03-green.
 from pixcrawler_spark.queries import frontiersched as _frontiersched  # noqa: F401,E501
+# webtext_ingest (WARC framing, boilerplate density) — late-r04, past
+# the cap like frontiersched; pytest-oracle-covered, r05-window bound.
+from pixcrawler_spark.queries import webtext_ingest as _webtext_ingest  # noqa: F401,E501
 
 # Rotation fix-up: with roundfive/roundfour/trainprep registering first,
 # q18-q20 (rowless since r02) land at positions 51-53 — a THIRD round
