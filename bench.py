@@ -63,6 +63,8 @@ HEADLINE = [
     "crawl_robots_rfc_allow",
     "text_quality_classifier",
     "text_perplexity_buckets",
+    "webtext_warc_records",
+    "text_boilerplate_density",
 ]
 
 
