@@ -415,3 +415,135 @@ def crawl_surt_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return u.select("url", surt.alias("surt"), host_rev.alias("host_rev"))
+
+
+# ---------------------------------------------------------------------------
+# crawl_url_resolve — RFC 3986 relative-reference resolution
+# ---------------------------------------------------------------------------
+# 14 deterministic ref shapes per doc covering every resolution branch:
+# empty / fragment-only / query-only / sibling / ./ / ../ chains
+# (including over-pop past the root) / root-relative / embedded dot
+# segments / protocol-relative / absolute / trailing '..' / trailing
+# slash. The oracle normalizes the merged path with a DIFFERENT
+# algorithm than the engine (recursive-CTE fixpoint of leftmost regex
+# reductions vs a single aggregate fold), so agreement certifies the
+# semantics rather than a shared implementation.
+_RESOLVE_ORACLE = r"""
+WITH src AS (
+  SELECT doc_id,
+         'https://' || source || '.example/dir'
+           || CAST(doc_id % 3 AS VARCHAR) || '/sub/page.html' AS base,
+         CASE doc_id % 14
+           WHEN 0 THEN ''
+           WHEN 1 THEN '#sec2'
+           WHEN 2 THEN '?q=1&b=2'
+           WHEN 3 THEN 'other.html'
+           WHEN 4 THEN './same.html'
+           WHEN 5 THEN '../up.html'
+           WHEN 6 THEN '../../root.html'
+           WHEN 7 THEN '../../../over.html'
+           WHEN 8 THEN '/abs/path.html'
+           WHEN 9 THEN 'a/./b/../c.html'
+           WHEN 10 THEN '//cdn.example/img.png'
+           WHEN 11 THEN 'https://other.example/x?y=1'
+           WHEN 12 THEN '../..'
+           ELSE 'dir/'
+         END AS ref
+  FROM documents
+), parts AS (
+  SELECT doc_id, base, ref,
+         regexp_extract(base, '^(https?://[^/]+)', 1) AS origin,
+         regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*):', 1) AS scheme,
+         regexp_extract(base, '^https?://[^/]+(/.*)$', 1) AS bpath,
+         regexp_replace(ref, '#.*$', '') AS r
+  FROM src
+), branch AS (
+  SELECT *,
+         regexp_extract(r, '^[^?]*', 0) AS rpath,
+         CASE WHEN contains(r, '?')
+              THEN regexp_extract(r, '(\?.*)$', 1) ELSE '' END AS rquery,
+         CASE
+           WHEN regexp_matches(r, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN 'abs'
+           WHEN r LIKE '//%' THEN 'protorel'
+           WHEN r = '' THEN 'same'
+           WHEN r LIKE '?%' THEN 'query'
+           ELSE 'path'
+         END AS kind
+  FROM parts
+), merged AS (
+  SELECT doc_id, base, ref, origin, scheme, r, rquery, kind,
+         CASE WHEN kind <> 'path' THEN NULL
+              WHEN rpath LIKE '/%' THEN rpath
+              WHEN bpath = '' THEN '/' || rpath
+              ELSE regexp_replace(bpath, '[^/]*$', '') || rpath
+         END AS mpath
+  FROM branch
+), norm AS (
+  WITH RECURSIVE n(doc_id, p, i) AS (
+    SELECT doc_id, mpath, 0 FROM merged WHERE mpath IS NOT NULL
+    UNION ALL
+    SELECT doc_id,
+      CASE
+        WHEN regexp_matches(p, '^/\.\.(/|$)')
+          THEN regexp_replace(p, '^/\.\.(/|$)', '/')
+        WHEN regexp_matches(p, '/\.(/|$)')
+          THEN regexp_replace(p, '/\.(/|$)', '/')
+        ELSE regexp_replace(p, '/[^/]*/\.\.(/|$)', '/')
+      END,
+      i + 1
+    FROM n
+    WHERE i < 64
+      AND regexp_matches(p, '^/\.\.(/|$)|/\.(/|$)|/[^/]*/\.\.(/|$)')
+  )
+  SELECT doc_id, p FROM (
+    SELECT doc_id, p, i, max(i) OVER (PARTITION BY doc_id) AS mx FROM n
+  ) WHERE i = mx
+)
+SELECT m.doc_id AS doc_id, m.base AS base, m.ref AS ref,
+       CASE m.kind
+         WHEN 'abs' THEN m.r
+         WHEN 'protorel' THEN m.scheme || ':' || m.r
+         WHEN 'same' THEN m.base
+         WHEN 'query' THEN m.base || m.r
+         ELSE m.origin || n.p || m.rquery
+       END AS resolved
+FROM merged m LEFT JOIN norm n USING (doc_id)
+"""
+
+
+@register(
+    "crawl_url_resolve",
+    oracle=_RESOLVE_ORACLE,
+    doc="RFC 3986 relative-reference resolution over 14 synthesized "
+    "ref shapes per doc (operators/urlresolve.py): the step between "
+    "outlink extraction and the frontier/seen-set keys. The reference "
+    "consumes absolute SERP urls (backend downloader result['url']) "
+    "and never resolves; here it is a zero-shuffle expression tree. "
+    "Differentially fuzzed against stdlib urljoin in "
+    "tests/test_urlresolve.py.",
+)
+def crawl_url_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pixcrawler_spark.operators.urlresolve import resolve_reference
+
+    d = load_table(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id")
+    base = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example/dir"),
+        (doc_id % 3).cast("string"), F.lit("/sub/page.html"),
+    )
+    m = doc_id % 14
+    ref = (
+        F.when(m == 0, "").when(m == 1, "#sec2").when(m == 2, "?q=1&b=2")
+        .when(m == 3, "other.html").when(m == 4, "./same.html")
+        .when(m == 5, "../up.html").when(m == 6, "../../root.html")
+        .when(m == 7, "../../../over.html").when(m == 8, "/abs/path.html")
+        .when(m == 9, "a/./b/../c.html")
+        .when(m == 10, "//cdn.example/img.png")
+        .when(m == 11, "https://other.example/x?y=1")
+        .when(m == 12, "../..").otherwise("dir/")
+    )
+    df = d.select("doc_id", base.alias("base"), ref.alias("ref"))
+    return df.select(
+        "doc_id", "base", "ref",
+        resolve_reference(F.col("base"), F.col("ref")).alias("resolved"),
+    )
