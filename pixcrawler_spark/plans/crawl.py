@@ -195,6 +195,15 @@ class CrawlConfig:
     # (operators/redirects.py). OFF by default: the golden/oracle
     # surface is byte-identical with the flag off.
     resolve_redirects: bool = False
+    # Resolve RELATIVE outlinks (../x, ./y, /abs, //host/p, ?q=2)
+    # against the linking page's url before they enter the frontier —
+    # RFC 3986 §5 as a zero-shuffle expression tree
+    # (operators/urlresolve.py). Without it every relative form of a
+    # page is a distinct frontier row that can never match the pages
+    # table. Absolute hrefs pass through verbatim, so a corpus of
+    # absolute links discovers the same set under either setting; OFF
+    # by default to keep the flag-off plan shape untouched.
+    resolve_relative: bool = False
 
     def validate(self) -> None:
         if not self.seeds:
@@ -568,9 +577,31 @@ class CrawlEngine:
         # merge hint: the fetched set grows with the politeness budget —
         # a driver-built broadcast would serialize with round size; SMJ
         # scans bucketed pages_ext exchange-free, fetched urls shuffle
-        discovered = links.join(fetched_urls.hint("merge"), "url").select(
-            next_depth.alias("depth"), F.explode("outlinks").alias("url")
-        )
+        if cfg.resolve_relative:
+            from pixcrawler_spark.operators.urlresolve import (
+                resolve_reference,
+            )
+
+            # keep the linking page's url through the explode so each
+            # href resolves against its own base — still a narrow map
+            discovered = (
+                links.join(fetched_urls.hint("merge"), "url")
+                .select(
+                    next_depth.alias("depth"),
+                    F.col("url").alias("base_url"),
+                    F.explode("outlinks").alias("href"),
+                )
+                .select(
+                    "depth",
+                    resolve_reference(
+                        F.col("base_url"), F.col("href")
+                    ).alias("url"),
+                )
+            )
+        else:
+            discovered = links.join(fetched_urls.hint("merge"), "url").select(
+                next_depth.alias("depth"), F.explode("outlinks").alias("url")
+            )
         # alias collapse BEFORE the seen join/dedup: an outlink to a
         # redirect alias is a discovery of its terminal (no-op unless
         # cfg.resolve_redirects)
