@@ -355,3 +355,165 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("h", F.lit(0)).cast("bigint").alias("hub"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_opic_cash — OPIC (On-line Page Importance Computation), 2 rounds
+# ---------------------------------------------------------------------------
+# Abiteboul/Preda/Cobena 2003: the crawl-ORDERING importance measure.
+# Each page holds cash; visiting distributes cash/outdeg to its
+# out-neighbors and banks the spent cash as history; dangling pages
+# return their cash to every page via the virtual root. Unlike
+# PageRank (graph_domain_rank) it is designed to run ONLINE while the
+# crawl proceeds — "crawl the page holding the most cash next" — and
+# needs no damping or convergence; unlike HITS it conserves total cash
+# exactly (asserted: sum(cash) = N, sum(history) = 2N after 2 rounds,
+# importance sums to 1). Synchronous-round formulation, 2 unrolled
+# iterations, declared edge fixture with planted DANGLING nodes
+# (src % 11 == 0 emits nothing) so the virtual-root path is exercised.
+# Per round: one edges⋈cash join + one bounded-key agg (O(|E|)
+# shuffle) + a 1-row dangling scalar joined as a broadcast literal —
+# the same plan shape at 10^9 edges. Floats rounded to 6 both sides.
+_SQL_OPIC = """
+    WITH edges AS (
+      SELECT DISTINCT CAST(user_id % 37 AS BIGINT) AS src,
+                      CAST((event_id * 7) % 31 AS BIGINT) AS dst
+      FROM events
+      WHERE user_id % 37 <> (event_id * 7) % 31
+        AND user_id % 37 % 11 <> 0
+        AND (user_id + event_id) % 5 < 3
+    ),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    outdeg AS (
+      SELECT src AS node, CAST(COUNT(*) AS DOUBLE) AS deg
+      FROM edges GROUP BY src
+    ),
+    d0 AS (
+      SELECT CAST(COALESCE(COUNT(*), 0) AS DOUBLE) AS d
+      FROM nodes LEFT JOIN outdeg USING (node) WHERE deg IS NULL
+    ),
+    inflow1 AS (
+      SELECT e.dst AS node, SUM(1.0 / o.deg) AS infl
+      FROM edges e JOIN outdeg o ON e.src = o.node GROUP BY e.dst
+    ),
+    c1 AS (
+      SELECT n.node,
+             COALESCE(i.infl, 0)
+               + (SELECT d FROM d0) / (SELECT n FROM nn) AS c
+      FROM nodes n LEFT JOIN inflow1 i USING (node)
+    ),
+    d1 AS (
+      SELECT CAST(COALESCE(SUM(c1.c), 0) AS DOUBLE) AS d
+      FROM c1 LEFT JOIN outdeg USING (node) WHERE outdeg.deg IS NULL
+    ),
+    inflow2 AS (
+      SELECT e.dst AS node, SUM(c1.c / o.deg) AS infl
+      FROM edges e JOIN outdeg o ON e.src = o.node
+      JOIN c1 ON e.src = c1.node GROUP BY e.dst
+    ),
+    c2 AS (
+      SELECT n.node,
+             COALESCE(i.infl, 0)
+               + (SELECT d FROM d1) / (SELECT n FROM nn) AS c
+      FROM nodes n LEFT JOIN inflow2 i USING (node)
+    )
+    SELECT c2.node AS node,
+           round(c2.c, 6) AS cash,
+           round(1.0 + c1.c, 6) AS history,
+           round((1.0 + c1.c + c2.c) / (3.0 * (SELECT n FROM nn)), 6)
+             AS importance
+    FROM c2 JOIN c1 USING (node)
+"""
+
+
+@register(
+    "graph_opic_cash",
+    oracle=_SQL_OPIC,
+    doc="OPIC cash/history importance (Abiteboul et al. 2003) over a "
+    "declared link graph with planted dangling nodes — the online "
+    "crawl-ordering companion to graph_domain_rank (PageRank) and "
+    "graph_hits_scores (HITS). Two synchronous rounds, virtual-root "
+    "redistribution of dangling cash; cash conservation asserted in "
+    "tests/test_urlgraph.py.",
+)
+def graph_opic_cash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    src = (F.col("user_id") % 37).cast("bigint")
+    dst = ((F.col("event_id") * 7) % 31).cast("bigint")
+    edges = (
+        ev.select(src.alias("src"), dst.alias("dst"))
+        .where(
+            (F.col("src") != F.col("dst"))
+            & (F.col("src") % 11 != 0)
+            & ((F.col("user_id") + F.col("event_id")) % 5 < 3)
+        )
+        .dropDuplicates(["src", "dst"])
+        .persist()  # reused by outdeg + both rounds; registry clears
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("double").alias("deg")
+    )
+    # 1-row dims: node count and per-round dangling cash. At any graph
+    # size these stay single rows — Spark broadcasts them; no
+    # data-sized build side.
+    nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    with_deg = nodes.join(outdeg, "node", "left")
+    d0 = with_deg.where(F.col("deg").isNull()).agg(
+        F.coalesce(F.count(F.lit(1)).cast("double"), F.lit(0.0)).alias("d")
+    )
+    inflow1 = (
+        edges.join(outdeg.withColumnRenamed("node", "src"), "src")
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.sum(F.lit(1.0) / F.col("deg")).alias("infl"))
+    )
+    c1 = (
+        nodes.join(inflow1, "node", "left")
+        .crossJoin(F.broadcast(d0))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "node",
+            (F.coalesce("infl", F.lit(0.0)) + F.col("d") / F.col("n"))
+            .alias("c"),
+        )
+    )
+    d1 = (
+        c1.join(outdeg, "node", "left")
+        .where(F.col("deg").isNull())
+        .agg(F.coalesce(F.sum("c"), F.lit(0.0)).cast("double").alias("d"))
+    )
+    inflow2 = (
+        edges.join(outdeg.withColumnRenamed("node", "src"), "src")
+        .join(c1.withColumnRenamed("node", "src"), "src")
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.sum(F.col("c") / F.col("deg")).alias("infl"))
+    )
+    c2 = (
+        nodes.join(inflow2, "node", "left")
+        .crossJoin(F.broadcast(d1))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "node",
+            (F.coalesce("infl", F.lit(0.0)) + F.col("d") / F.col("n"))
+            .alias("c2"),
+            F.col("n"),
+        )
+    )
+    return (
+        c2.join(c1, "node")
+        .select(
+            "node",
+            F.round("c2", 6).alias("cash"),
+            F.round(F.lit(1.0) + F.col("c"), 6).alias("history"),
+            F.round(
+                (F.lit(1.0) + F.col("c") + F.col("c2"))
+                / (F.lit(3.0) * F.col("n")),
+                6,
+            ).alias("importance"),
+        )
+    )

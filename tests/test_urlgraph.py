@@ -97,3 +97,19 @@ def test_domain_rank_matches_hand_iteration(spark, tmp_path):
     for v in want:
         assert abs(got[v] - round(want[v], 6)) < 1e-9, (v, got[v], want[v])
     assert got[2] == max(got.values())
+
+
+def test_opic_conserves_cash(spark):
+    """OPIC invariants on the declared fixture: total cash equals N
+    after every synchronous round (the virtual root returns dangling
+    cash), history accumulates exactly one N per round, and the
+    importance column is a probability distribution."""
+    from pixcrawler_spark.queries.urlgraph import graph_opic_cash
+
+    rows = graph_opic_cash(spark, "/root/testdata/sf0.001").collect()
+    n = len(rows)
+    assert n > 0
+    assert abs(sum(r["cash"] for r in rows) - n) < 1e-3
+    assert abs(sum(r["history"] for r in rows) - 2 * n) < 1e-3
+    assert abs(sum(r["importance"] for r in rows) - 1.0) < 1e-6
+    assert all(r["importance"] >= 0 for r in rows)
