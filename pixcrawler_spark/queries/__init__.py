@@ -59,10 +59,13 @@ from pixcrawler_spark.queries import jobops as _jobops  # noqa: F401
 # adaptive delay, robots wildcards, SURT keys) are late-r04 additions registered
 # here — PAST the 50-cap, so the r04 window (q05-q20 + the round's
 # headliners) is undisturbed. They are
-# pytest-oracle-covered now and, with graph_hits_scores (urlgraph)
-# and text_source_reputation, the seven queries the r05
-# window MUST include (no driver row in any round yet); the rest of
-# the r05 window should be the r04 overflow, all r03-green.
+# pytest-oracle-covered now and, with graph_hits_scores and
+# graph_opic_cash (urlgraph), crawl_url_resolve (below),
+# text_source_reputation, and the webtext_ingest pair
+# (webtext_warc_records, text_boilerplate_density), the ELEVEN
+# queries the r05 window MUST include (no driver row in any round
+# yet); the rest of the r05 window should be the r04 overflow, all
+# r03-green.
 from pixcrawler_spark.queries import frontiersched as _frontiersched  # noqa: F401,E501
 # webtext_ingest (WARC framing, boilerplate density) — late-r04, past
 # the cap like frontiersched; pytest-oracle-covered, r05-window bound.
