@@ -70,6 +70,9 @@ from pixcrawler_spark.queries import frontiersched as _frontiersched  # noqa: F4
 # webtext_ingest (WARC framing, boilerplate density) — late-r04, past
 # the cap like frontiersched; pytest-oracle-covered, r05-window bound.
 from pixcrawler_spark.queries import webtext_ingest as _webtext_ingest  # noqa: F401,E501
+# winnow (MOSS rolling-hash fingerprints, census + similarity pairs) —
+# late-r04, past the cap; pytest-oracle-covered, r05-window bound.
+from pixcrawler_spark.queries import winnow as _winnow  # noqa: F401
 
 # Rotation fix-up: with roundfive/roundfour/trainprep registering first,
 # q18-q20 (rowless since r02) land at positions 51-53 — a THIRD round
