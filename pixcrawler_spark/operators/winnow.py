@@ -61,18 +61,25 @@ def _gram_hashes(norm: Column, k: int) -> Column:
     )
 
 
-def fingerprint_array(norm: Column, k: int, w: int) -> Column:
-    """Winnowing selection as a pure column expression: for each of
-    the ``n_grams - w + 1`` full windows, fold left-to-right keeping
-    the element with ``h <= acc.h`` (later position wins ties → the
+def select_fingerprints(hs: Column, w: int) -> Column:
+    """Winnowing selection over a gram-hash array: for each of the
+    ``size(hs) - w + 1`` full windows, fold left-to-right keeping the
+    element with ``h <= acc.h`` (later position wins ties → the
     paper's rightmost-minimum rule), then dedup across overlapping
-    windows. Caller must guarantee ``length(norm) >= k + w - 1`` so
-    every window is full and ``slice``/``sequence`` bounds are valid."""
+    windows. Caller must guarantee ``size(hs) >= w`` so every window
+    is full and ``slice``/``sequence`` bounds are valid.
+
+    ``hs`` MUST be a materialized column reference (an attribute from
+    a prior projection), NOT the ``_gram_hashes`` expression inlined:
+    Catalyst performs no common-subexpression elimination inside
+    higher-order-function lambdas, so an inlined hash array is
+    re-evaluated on every window reference — O(n_grams²) md5 calls
+    per document (measured ~100× slower at 300-char docs). Staged as
+    an attribute, the optimizer keeps the producing projection (md5
+    is non-cheap, so CollapseProject won't re-inline it) and the
+    fold is linear."""
     if w < 2:
         raise ValueError(f"winnow window w must be >= 2, got {w}")
-    if k < 1:
-        raise ValueError(f"k-gram size must be >= 1, got {k}")
-    hs = _gram_hashes(norm, k)
     n_windows = F.size(hs) - w + 1
     return F.array_distinct(
         F.transform(
@@ -95,14 +102,14 @@ def winnow_fingerprints(
     have no full window and emit no rows (the paper's semantics —
     nothing shorter than the guarantee threshold ``t = w + k - 1``
     can be matched anyway)."""
-    norm = normalize_text(F.col(text_col))
+    if k < 1:
+        raise ValueError(f"k-gram size must be >= 1, got {k}")
+    staged = stage_gram_hashes(df, id_col, text_col, k, w)
     return (
-        df.select(F.col(id_col), norm.alias("_norm"))
-        .where(F.length("_norm") >= k + w - 1)
-        .select(
+        staged.select(
             id_col,
             F.explode(
-                fingerprint_array(F.col("_norm"), k, w)
+                select_fingerprints(F.col("_hs"), w)
             ).alias("_fp"),
         )
         .select(
@@ -110,6 +117,21 @@ def winnow_fingerprints(
             F.col("_fp.pos").alias("fp_pos"),
             F.col("_fp.h").alias("fp_hash"),
         )
+    )
+
+
+def stage_gram_hashes(
+    df: DataFrame, id_col: str, text_col: str, k: int, w: int
+) -> DataFrame:
+    """``(id, _hs)`` with the k-gram hash array materialized as a
+    column attribute — the required staging before
+    ``select_fingerprints`` (see its docstring for why). Rows below
+    the full-window threshold are dropped here."""
+    norm = normalize_text(F.col(text_col))
+    return (
+        df.select(F.col(id_col), norm.alias("_norm"))
+        .where(F.length("_norm") >= k + w - 1)
+        .select(id_col, _gram_hashes(F.col("_norm"), k).alias("_hs"))
     )
 
 

@@ -96,15 +96,14 @@ _FPS_CTE = f"""
 def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     k, w = WINNOW_K, WINNOW_W
-    norm = winnow.normalize_text(F.col("text"))
-    kept = d.select("doc_id", norm.alias("_n")).where(
-        F.length("_n") - k + 1 >= w
-    )
-    n_grams = (F.length("_n") - k + 1).cast("bigint")
+    # gram hashes staged as a column attribute — inlining them into
+    # the selection fold re-hashes per window (see select_fingerprints)
+    staged = winnow.stage_gram_hashes(d, "doc_id", "text", k, w)
+    n_grams = F.size("_hs").cast("bigint")
     n_fp = F.size(
-        winnow.fingerprint_array(F.col("_n"), k, w)
+        winnow.select_fingerprints(F.col("_hs"), w)
     ).cast("bigint")
-    return kept.select(
+    return staged.select(
         "doc_id",
         n_grams.alias("n_grams"),
         n_fp.alias("n_fp"),

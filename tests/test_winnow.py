@@ -121,16 +121,22 @@ def test_similarity_pairs_semantics(spark):
     assert n_shared >= 10
 
 
-def test_fingerprint_plan_is_map_only(spark):
+def test_fingerprint_plan_is_map_only_and_hashes_once(spark):
     # The census path must stay shuffle-free: no Exchange in the plan.
     df = spark.createDataFrame(DOCS, ["doc_id", "text"])
-    fp = df.select(
+    staged = winnow.stage_gram_hashes(df, "doc_id", "text", 5, 4)
+    fp = staged.select(
         "doc_id",
         F.size(
-            winnow.fingerprint_array(
-                winnow.normalize_text(F.col("text")), 5, 4
-            )
+            winnow.select_fingerprints(F.col("_hs"), 4)
         ).alias("n_fp"),
     )
     plan = fp._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+    # Linear-hashing audit: the gram-hash array must survive as its
+    # own projection (md5 appears ONCE in the optimized plan). If
+    # CollapseProject ever re-inlines it into the selection fold,
+    # lambdas get no subexpression elimination and hashing goes
+    # O(n_grams²) per doc (measured ~100x at 300-char docs).
+    opt = fp._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("md5") == 1, opt
