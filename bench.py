@@ -65,6 +65,9 @@ HEADLINE = [
     "text_perplexity_buckets",
     "webtext_warc_records",
     "text_boilerplate_density",
+    # round 4 winnowing fingerprints (map-only selection + capped join)
+    "text_winnow_fingerprints",
+    "text_winnow_fingerprint_pairs",
 ]
 
 
