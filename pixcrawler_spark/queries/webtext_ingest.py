@@ -211,13 +211,20 @@ _STOPWORDS = ("the", "a")
 )
 def text_boilerplate_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", " "), lambda x: x != "")
-    n_lines = F.ceil(F.size(toks) / F.lit(float(_LINE_W))).cast("int")
+    # token array staged as a column attribute: inlined into the
+    # per-line transform lambda it would re-split the doc once per
+    # pseudo-line (no subexpression elimination inside higher-order
+    # lambdas — the same quadratic trap operators/winnow.py documents)
+    staged = d.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("_toks"),
+    )
+    n_lines = F.ceil(F.size("_toks") / F.lit(float(_LINE_W))).cast("int")
     lines = F.transform(
         F.sequence(F.lit(0), n_lines - 1),
-        lambda i: F.slice(toks, i * _LINE_W + 1, _LINE_W),
+        lambda i: F.slice(F.col("_toks"), i * _LINE_W + 1, _LINE_W),
     )
-    exploded = d.select(
+    exploded = staged.select(
         "doc_id", n_lines.alias("n_lines"), F.explode(lines).alias("line")
     )
     n_stop = F.size(
