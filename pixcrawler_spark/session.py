@@ -94,3 +94,16 @@ def tune_session(spark: SparkSession) -> None:
         spark.conf.set("spark.sql.optimizer.excludedRules", ",".join(rules))
     except Exception:
         pass  # conf locked down → queries still correct, just slower
+    try:
+        # Pin ANSI off on foreign sessions too (Spark 4 defaults it ON;
+        # the DuckDB-comparison semantics here are documented ANSI-off).
+        # Every query is still written to be ANSI-SAFE — tests run an
+        # ANSI-on sweep (tests/test_ansi_sweep.py, which sets
+        # PIXCRAWLER_KEEP_ANSI=1 to disable this pin so the sweep
+        # actually exercises ANSI semantics) — but pinning keeps
+        # null-on-overflow/cast semantics identical between the repo's
+        # sessions and a driver-built one.
+        if os.environ.get("PIXCRAWLER_KEEP_ANSI") != "1":
+            spark.conf.set("spark.sql.ansi.enabled", "false")
+    except Exception:
+        pass
