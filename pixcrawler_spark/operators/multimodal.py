@@ -337,7 +337,12 @@ def _sniff_format(payload: bytes) -> str:
     return "unknown"
 
 
-def _decode_one(payload: bytes | None, kind: str, deterministic_fake: bool) -> dict:
+def _decode_one(
+    payload: bytes | None,
+    kind: str,
+    deterministic_fake: bool,
+    sha_hex: str | None = None,
+) -> dict:
     """Per-item decode. BMP, PNG and baseline JPEG are decoded for REAL
     (header + pixels + perceptual aHash — reference semantics
     validator/integrity.py:108-127,462-498); audio/video/exotic formats
@@ -354,7 +359,9 @@ def _decode_one(payload: bytes | None, kind: str, deterministic_fake: bool) -> d
     real = _decode_image(payload) if kind == "image" else None
     if real is not None:
         fmt, dec = real
-        sha = hashlib.sha256(payload).hexdigest()
+        # the decode-dedupe cache already hashed the payload for its
+        # key; reuse that digest instead of a second sha256 pass
+        sha = sha_hex or hashlib.sha256(payload).hexdigest()
         if dec is None:  # corrupt/truncated → the corruption predicate
             return {
                 "n_bytes": len(payload), "format": fmt, "width": None,
@@ -373,7 +380,7 @@ def _decode_one(payload: bytes | None, kind: str, deterministic_fake: bool) -> d
             "this sandbox; bmp/png/jpeg are decoded for real); pass "
             "deterministic_fake=True for the plumbing path"
         )
-    h = hashlib.sha256(payload).hexdigest()
+    h = sha_hex or hashlib.sha256(payload).hexdigest()
     seed = int(h[:8], 16)
     valid = fmt != "unknown" and len(payload) >= 16
     return {
@@ -407,13 +414,15 @@ def decode_media(df: DataFrame, deterministic_fake: bool = False) -> DataFrame:
         for pdf in batches:
             meta = []
             for p, k in zip(pdf["payload"], pdf["kind"]):
-                key = (
-                    None
-                    if p is None
-                    else (_hl.sha256(bytes(p)).digest(), str(k))
-                )
+                digest = None if p is None else _hl.sha256(bytes(p))
+                key = None if digest is None else (digest.digest(), str(k))
                 if key is None or key not in cache:
-                    m = _decode_one(p, k, deterministic_fake)
+                    m = _decode_one(
+                        p,
+                        k,
+                        deterministic_fake,
+                        sha_hex=digest.hexdigest() if digest is not None else None,
+                    )
                     if key is None:
                         meta.append(m)
                         continue
