@@ -40,12 +40,27 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+_ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
 def normalize_text(text: Column) -> Column:
-    """MOSS-style normalization: keep only ASCII alphanumerics, then
-    lowercase. Stripping BEFORE lowercasing keeps the operation
-    engine-portable (ASCII-only lowercase is identical in Spark and
-    DuckDB; full-Unicode case folding is not guaranteed to be)."""
-    return F.lower(F.regexp_replace(text, "[^A-Za-z0-9]", ""))
+    """MOSS-style normalization: keep Unicode letters and digits
+    (``\\p{L}\\p{N}`` — supported identically by Java regex and
+    DuckDB's RE2), then lowercase ASCII letters ONLY via
+    ``translate``. Non-Latin scripts (CJK, Cyrillic, Arabic) keep
+    their codepoints and so fingerprint normally; full-Unicode case
+    folding is deliberately avoided because Spark (ICU/Java) and
+    DuckDB (utf8proc) do not guarantee identical results, and the
+    oracle hash-match requires byte-identical normalized text.
+    Combining marks are ``\\p{M}`` and thus stripped, so the result
+    has no multi-codepoint grapheme clusters and character-indexed
+    ``substring`` agrees across engines."""
+    return F.translate(
+        F.regexp_replace(text, r"[^\p{L}\p{N}]", ""),
+        _ASCII_UPPER,
+        _ASCII_LOWER,
+    )
 
 
 def _gram_hashes(norm: Column, k: int) -> Column:
@@ -61,25 +76,35 @@ def _gram_hashes(norm: Column, k: int) -> Column:
     )
 
 
-def select_fingerprints(hs: Column, w: int) -> Column:
-    """Winnowing selection over a gram-hash array: for each of the
-    ``size(hs) - w + 1`` full windows, fold left-to-right keeping the
-    element with ``h <= acc.h`` (later position wins ties → the
-    paper's rightmost-minimum rule), then dedup across overlapping
-    windows. Caller must guarantee ``size(hs) >= w`` so every window
-    is full and ``slice``/``sequence`` bounds are valid.
+def select_fingerprints(hs_col: str, w: int) -> Column:
+    """Winnowing selection over a gram-hash array column named
+    ``hs_col``: for each of the ``size(hs) - w + 1`` full windows,
+    fold left-to-right keeping the element with ``h <= acc.h`` (later
+    position wins ties → the paper's rightmost-minimum rule), then
+    dedup across overlapping windows. Caller must guarantee
+    ``size(hs) >= w`` so every window is full and ``slice``/
+    ``sequence`` bounds are valid — ``stage_gram_hashes`` does both.
 
-    ``hs`` MUST be a materialized column reference (an attribute from
-    a prior projection), NOT the ``_gram_hashes`` expression inlined:
-    Catalyst performs no common-subexpression elimination inside
-    higher-order-function lambdas, so an inlined hash array is
+    The signature takes a column NAME, not a Column, on purpose: the
+    array must be a materialized attribute from a prior projection
+    (``stage_gram_hashes``), never the ``_gram_hashes`` expression
+    inlined. Catalyst performs no common-subexpression elimination
+    inside higher-order-function lambdas, so an inlined hash array is
     re-evaluated on every window reference — O(n_grams²) md5 calls
-    per document (measured ~100× slower at 300-char docs). Staged as
-    an attribute, the optimizer keeps the producing projection (md5
-    is non-cheap, so CollapseProject won't re-inline it) and the
-    fold is linear."""
+    per document (measured ~100× slower at 300-char docs). A name-only
+    parameter makes that regression unrepresentable at the call site;
+    staged as an attribute, the optimizer keeps the producing
+    projection (md5 is non-cheap, so CollapseProject won't re-inline
+    it) and the fold is linear."""
     if w < 2:
         raise ValueError(f"winnow window w must be >= 2, got {w}")
+    if not isinstance(hs_col, str):
+        raise TypeError(
+            "select_fingerprints takes the NAME of a staged gram-hash "
+            "column (see stage_gram_hashes); passing an expression "
+            "would re-evaluate it per window — O(n_grams^2) md5 calls"
+        )
+    hs = F.col(hs_col)
     n_windows = F.size(hs) - w + 1
     return F.array_distinct(
         F.transform(
@@ -94,7 +119,12 @@ def select_fingerprints(hs: Column, w: int) -> Column:
 
 
 def winnow_fingerprints(
-    df: DataFrame, id_col: str, text_col: str, k: int = 8, w: int = 4
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    w: int = 4,
+    max_chars: int | None = None,
 ) -> DataFrame:
     """Per-document winnowing fingerprints: ``(id, fp_pos, fp_hash)``
     rows, one per selected k-gram (1-based position in the normalized
@@ -104,12 +134,12 @@ def winnow_fingerprints(
     can be matched anyway)."""
     if k < 1:
         raise ValueError(f"k-gram size must be >= 1, got {k}")
-    staged = stage_gram_hashes(df, id_col, text_col, k, w)
+    staged = stage_gram_hashes(df, id_col, text_col, k, w, max_chars)
     return (
         staged.select(
             id_col,
             F.explode(
-                select_fingerprints(F.col("_hs"), w)
+                select_fingerprints("_hs", w)
             ).alias("_fp"),
         )
         .select(
@@ -121,13 +151,30 @@ def winnow_fingerprints(
 
 
 def stage_gram_hashes(
-    df: DataFrame, id_col: str, text_col: str, k: int, w: int
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    w: int,
+    max_chars: int | None = None,
 ) -> DataFrame:
     """``(id, _hs)`` with the k-gram hash array materialized as a
     column attribute — the required staging before
     ``select_fingerprints`` (see its docstring for why). Rows below
-    the full-window threshold are dropped here."""
+    the full-window threshold are dropped here.
+
+    Per-row memory amplifies ~40-50× over the normalized text: ``_hs``
+    holds a 32-hex-char md5 struct per k-gram, and the selection fold's
+    pre-``array_distinct`` window array is another O(n_grams) structs —
+    a multi-MB document inflates to tens of MB inside one row before
+    the ~2/(w+1)-density output materializes. ``max_chars`` bounds
+    that: normalized text is truncated to the first ``max_chars``
+    characters (fingerprints past the cap are dropped, matches within
+    the prefix keep the winnowing guarantee). Set it for corpora with
+    unbounded text fields; None scans everything."""
     norm = normalize_text(F.col(text_col))
+    if max_chars is not None:
+        norm = F.substring(norm, 1, max_chars)
     return (
         df.select(F.col(id_col), norm.alias("_norm"))
         .where(F.length("_norm") >= k + w - 1)
@@ -143,20 +190,26 @@ def winnow_similarity_pairs(
     w: int = 4,
     max_df: int = 64,
     threshold: float = 0.5,
+    max_chars: int | None = None,
 ) -> DataFrame:
     """MOSS-style similarity report: documents ranked by shared
     fingerprints. Fingerprint sets (positions dropped — membership is
-    what matches) are df-capped (a fingerprint in > ``max_df`` docs is
-    boilerplate: excluded from join-key duty AND from the declared
-    measure, exactly like the stop-shingle cap in
+    what matches) are df-capped for JOIN-KEY duty only (a fingerprint
+    in > ``max_df`` docs is boilerplate and would build a mega-bucket,
+    exactly like the stop-shingle cap in
     ``dedup.ngram_jaccard_pairs``), inverted-index self-joined on the
     hash, and scored with the overlap coefficient
     ``|A ∩ B| / min(|A|, |B|)`` — MOSS's containment-style score, so a
     small doc pasted into a big one still scores ~1.0 where Jaccard
-    would dilute it. Output: ``(id_a, id_b, n_shared, overlap)`` with
-    ``id_a < id_b`` and ``overlap >= threshold``."""
+    would dilute it. The denominator ``n_fp`` counts each document's
+    FULL fingerprint set (uncapped): capping the denominator too would
+    let two boilerplate-heavy docs whose few surviving rare
+    fingerprints coincide score overlap 1.0 from a tiny denominator —
+    the cap may only lose shared counts (score under, never over).
+    Output: ``(id_a, id_b, n_shared, overlap)`` with ``id_a < id_b``
+    and ``overlap >= threshold``."""
     fset = (
-        winnow_fingerprints(df, id_col, text_col, k=k, w=w)
+        winnow_fingerprints(df, id_col, text_col, k=k, w=w, max_chars=max_chars)
         .select(id_col, "fp_hash")
         .distinct()
     )
@@ -167,7 +220,7 @@ def winnow_similarity_pairs(
         .select("fp_hash")
         .join(fset, "fp_hash")
     )
-    sizes = joinable.groupBy(id_col).agg(F.count("*").alias("n_fp"))
+    sizes = fset.groupBy(id_col).agg(F.count("*").alias("n_fp"))
     a = joinable.select(
         F.col(id_col).alias("id_a"), F.col("fp_hash")
     )

@@ -26,20 +26,32 @@ from pixcrawler_spark.operators import winnow
 from pixcrawler_spark.queries.registry import register
 from pixcrawler_spark.sources.tables import load_table
 
-WINNOW_K = 8  # k-gram size over normalized (alnum-only, lowered) text
+WINNOW_K = 8  # k-gram size over normalized (letter/digit, ascii-lowered) text
 WINNOW_W = 4  # window of consecutive k-gram hashes per selection
 WINNOW_MAX_DF = 64  # fingerprints in > this many docs are boilerplate
 WINNOW_THRESHOLD = 0.5  # overlap-coefficient floor for reported pairs
+WINNOW_MAX_CHARS = 20000  # normalized-text cap: bounds the ~40-50x
+# per-row memory amplification of the staged gram-hash array (see
+# operators/winnow.stage_gram_hashes) on unbounded text fields
 
 # Shared oracle CTE: winnowing selection from the paper definition.
-# grams = every k-gram's md5 + 1-based position; wins = per-window
-# minimum hash (full windows enforced after the window function, since
-# SQL WHERE runs before OVER); fps = the rightmost position achieving
-# each window's minimum, deduped across overlapping windows.
+# norm mirrors operators/winnow.normalize_text — keep \\p{L}\\p{N}
+# codepoints (RE2 and Java regex agree), lowercase ASCII only via
+# translate (full-Unicode case folding differs between utf8proc and
+# ICU), truncate to the max_chars memory cap. grams = every k-gram's
+# md5 + 1-based position; wins = per-window minimum hash (full windows
+# enforced after the window function, since SQL WHERE runs before
+# OVER); fps = the rightmost position achieving each window's minimum,
+# deduped across overlapping windows.
 _FPS_CTE = f"""
     norm AS (
       SELECT doc_id,
-             lower(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS s
+             substr(
+               translate(
+                 regexp_replace(text, '[^\\p{{L}}\\p{{N}}]', '', 'g'),
+                 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                 'abcdefghijklmnopqrstuvwxyz'),
+               1, {WINNOW_MAX_CHARS}) AS s
       FROM documents
     ),
     docs AS (
@@ -98,10 +110,12 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     k, w = WINNOW_K, WINNOW_W
     # gram hashes staged as a column attribute — inlining them into
     # the selection fold re-hashes per window (see select_fingerprints)
-    staged = winnow.stage_gram_hashes(d, "doc_id", "text", k, w)
+    staged = winnow.stage_gram_hashes(
+        d, "doc_id", "text", k, w, max_chars=WINNOW_MAX_CHARS
+    )
     n_grams = F.size("_hs").cast("bigint")
     n_fp = F.size(
-        winnow.select_fingerprints(F.col("_hs"), w)
+        winnow.select_fingerprints("_hs", w)
     ).cast("bigint")
     return staged.select(
         "doc_id",
@@ -124,7 +138,10 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT f.doc_id, f.h FROM fset f JOIN keep k ON k.h = f.h
     ),
     sizes AS (
-      SELECT doc_id, count(*) AS n_fp FROM joinable GROUP BY doc_id
+      -- denominator from the UNCAPPED set: the df cap guards join
+      -- keys only, so boilerplate-heavy docs can't score overlap 1.0
+      -- off a tiny capped denominator
+      SELECT doc_id, count(*) AS n_fp FROM fset GROUP BY doc_id
     ),
     shared AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
@@ -143,9 +160,11 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
           >= {WINNOW_THRESHOLD}
     """,
     doc="MOSS similarity pairs over winnowing fingerprints: df-capped "
-    "(boilerplate fingerprints excluded from join-key duty and from "
-    "the measure, like the stop-shingle cap in "
-    "dedup_ngram_jaccard_pairs), inverted-index self-join on the "
+    "for join-key duty only (boilerplate fingerprints excluded from "
+    "the inverted index like the stop-shingle cap in "
+    "dedup_ngram_jaccard_pairs; the overlap denominator stays the "
+    "full per-doc fingerprint count so the cap can only score "
+    "under, never over), inverted-index self-join on the "
     "hash, overlap coefficient >= threshold. The winnowing guarantee "
     "makes recall structural: any shared substring of length >= "
     f"w+k-1 = {WINNOW_W + WINNOW_K - 1} normalized chars shares a "
@@ -158,4 +177,5 @@ def text_winnow_fingerprint_pairs(
     return winnow.winnow_similarity_pairs(
         d, "doc_id", "text", k=WINNOW_K, w=WINNOW_W,
         max_df=WINNOW_MAX_DF, threshold=WINNOW_THRESHOLD,
+        max_chars=WINNOW_MAX_CHARS,
     )

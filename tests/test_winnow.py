@@ -11,11 +11,22 @@ from pyspark.sql import functions as F
 from pixcrawler_spark.operators import winnow
 
 
+def _ref_normalize(text: str) -> str:
+    """Mirror of operators/winnow.normalize_text: keep Unicode
+    letters/digits (Python isalnum ≈ \\p{L}\\p{N}), lowercase ASCII
+    only (non-Latin codepoints pass through unchanged)."""
+    return "".join(
+        c.lower() if c.isascii() else c
+        for c in text
+        if c.isalnum()
+    )
+
+
 def _ref_winnow(text: str, k: int, w: int) -> set[tuple[int, str]]:
     """Paper definition, independent of the engine's fold: normalize,
     hash every k-gram, take the rightmost minimum of every full
     window. Returns {(1-based pos, md5 hex)}."""
-    s = "".join(c for c in text if c.isalnum() and c.isascii()).lower()
+    s = _ref_normalize(text)
     if len(s) < k + w - 1:
         return set()
     hs = [
@@ -38,6 +49,11 @@ DOCS = [
     (3, "short"),  # below k+w-1 normalized chars → no fingerprints
     (4, "aaaaaaaaaaaaaaaaaaaaaaaa"),  # all k-grams identical (tie storm)
     (5, "Numbers 12345 and punctuation;;; mix: the quick brown fox."),
+    # non-Latin scripts must fingerprint (codepoint-preserving
+    # normalization), not normalize to empty
+    (6, "Привет, мир! Это довольно длинный кириллический текст."),
+    (7, "你好世界这是一个足够长的中文测试文档用于指纹提取验证流程"),
+    (8, "Mixed Кириллица and ASCII text 混合 with enough length here."),
 ]
 
 
@@ -84,9 +100,7 @@ def test_normalization_invariance_and_guarantee(spark):
         want = _ref_winnow(t, k, w)
         if not want:
             continue
-        s = "".join(
-            c for c in t if c.isalnum() and c.isascii()
-        ).lower()
+        s = _ref_normalize(t)
         n_windows = (len(s) - k + 1) - w + 1
         assert len(by_doc[i]) * w >= n_windows
 
@@ -128,7 +142,7 @@ def test_fingerprint_plan_is_map_only_and_hashes_once(spark):
     fp = staged.select(
         "doc_id",
         F.size(
-            winnow.select_fingerprints(F.col("_hs"), 4)
+            winnow.select_fingerprints("_hs", 4)
         ).alias("n_fp"),
     )
     plan = fp._jdf.queryExecution().executedPlan().toString()
