@@ -105,6 +105,68 @@ def dedup_skew_probe(spark, sf_dir: str) -> float:
     return elapsed
 
 
+def winnow_boilerplate_probe(spark, sf_dir: str) -> dict:
+    """Adversarial-boilerplate winnow probe (VERDICT r4 item 7): plant
+    a shared 500-char boilerplate block in 30% of the sf documents and
+    time the similarity-pairs query against an equal-text-volume clean
+    control (same docs, unique filler of identical length). The df cap
+    must keep the planted run under 2x the clean run — structural
+    balance is asserted in tests/test_winnow_skew.py; this reports the
+    wall-clock ratio round-over-round."""
+    from pixcrawler_spark.operators import winnow
+    from pixcrawler_spark.queries.winnow import (
+        WINNOW_K, WINNOW_MAX_CHARS, WINNOW_MAX_DF, WINNOW_THRESHOLD,
+        WINNOW_W,
+    )
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    boiler = " ".join(f"boilertok{j}q{(j * 37) % 997}" for j in range(55))[:500]
+    unique_filler = F.substring(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(54)),
+                lambda j: F.concat(
+                    F.lit("f"), F.col("doc_id").cast("string"),
+                    F.lit("b"), j.cast("string"),
+                    F.lit("z"), ((F.col("doc_id") * 61 + j * 13) % 9973)
+                    .cast("string"),
+                ),
+            ),
+        ),
+        1, 500,
+    )
+
+    def run(planted: bool) -> float:
+        block = F.lit(boiler) if planted else unique_filler
+        docs = d.select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 10 < 3,
+                F.concat(block, F.lit(" "), F.col("text")),
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        t0 = time.monotonic()
+        winnow.winnow_similarity_pairs(
+            docs, "doc_id", "text", k=WINNOW_K, w=WINNOW_W,
+            max_df=WINNOW_MAX_DF, threshold=WINNOW_THRESHOLD,
+            max_chars=WINNOW_MAX_CHARS,
+        ).write.format("noop").mode("overwrite").save()
+        return time.monotonic() - t0
+
+    clean = run(False)
+    planted = run(True)
+    return {
+        "winnow_pairs_clean": round(clean, 3),
+        "winnow_pairs_boilerplate": round(planted, 3),
+        "winnow_boilerplate_ratio": round(planted / clean, 3)
+        if clean > 0
+        else 0.0,
+    }
+
+
 def _time_query(spark, name: str, sf_dir: str) -> float:
     t0 = time.monotonic()
     df = REGISTRY[name].fn(spark, sf_dir)
@@ -289,6 +351,8 @@ def main() -> None:
 
     timings["dedup_skew_decision"] = round(dedup_skew_probe(spark, sf_dir), 3)
 
+    winnow_probe = winnow_boilerplate_probe(spark, sf_dir)
+
     urls, secs = frontier_throughput(spark, sf_dir)
     timings["frontier_round"] = round(secs, 3)
     urls_per_sec = urls / secs if secs > 0 else 0.0
@@ -313,6 +377,7 @@ def main() -> None:
                 "sf": sf,
                 "frontier_urls_per_sec": round(urls_per_sec, 1),
                 "cpus": cpus,
+                "winnow_boilerplate": winnow_probe,
                 "scaled": scaled,
             }
         )
