@@ -279,6 +279,13 @@ def main() -> None:
         "attempt (tighter probe-to-measurement proximity; see "
         "measure_pair_leg_gated)",
     )
+    ap.add_argument(
+        "--no-report", action="store_true",
+        help="print the result JSON only; do NOT rewrite "
+        "BENCH/BASELINE.md (the report template drops the hand-"
+        "curated history sections — use this for confirmation runs "
+        "and merge the numbers into the report by hand)",
+    )
     args = ap.parse_args()
 
     mp = measure_pair_leg_gated if args.gate_each_leg else measure_pair
@@ -292,6 +299,12 @@ def main() -> None:
         ))
 
     prim = results[0]
+    if args.no_report:
+        print(json.dumps({
+            "primary_eff": round(prim["eff"], 3),
+            "pairs": results,
+        }, default=str))
+        return
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     md = os.path.join(REPO, "BENCH", "BASELINE.md")
     now = datetime.datetime.now(datetime.timezone.utc).isoformat(timespec="seconds")
