@@ -68,6 +68,10 @@ HEADLINE = [
     # round 4 winnowing fingerprints (map-only selection + capped join)
     "text_winnow_fingerprints",
     "text_winnow_fingerprint_pairs",
+    # round 5: weighted reservoir, triangle counting, embedding decon
+    "sample_reservoir_weighted",
+    "graph_triangle_count",
+    "text_decontaminate_embedding",
 ]
 
 

@@ -73,6 +73,11 @@ from pixcrawler_spark.queries import webtext_ingest as _webtext_ingest  # noqa: 
 # winnow (MOSS rolling-hash fingerprints, census + similarity pairs) —
 # late-r04, past the cap; pytest-oracle-covered, r05-window bound.
 from pixcrawler_spark.queries import winnow as _winnow  # noqa: F401
+# roundsix: weighted reservoir sampling, triangle counting, embedding
+# decontamination — NEW in r05, registered inside the window per the
+# "register inside the current window or not at all" rule (VERDICT r04
+# item 6); they displace three r03-green refreshers from the tail.
+from pixcrawler_spark.queries import roundsix as _roundsix  # noqa: F401
 
 # ---------------------------------------------------------------------------
 # r05 window (explicit). The driver's correctness harness evaluates the
@@ -109,9 +114,13 @@ _R05_WINDOW = [
     "webtext_warc_records",
     "text_boilerplate_density",
     "text_source_reputation",
-    # priority 3: new r05 queries are inserted here as they land
-    # (each one replaces the LAST refresher below to keep the window
-    # at exactly 50)
+    # priority 3: new r05 queries (each replaced one tail refresher
+    # below to keep the window at exactly 50; the displaced
+    # graph_domain_rank / crawl_tier_admission / crawl_smart_retry_terms
+    # are all r03-green)
+    "sample_reservoir_weighted",
+    "graph_triangle_count",
+    "text_decontaminate_embedding",
     # priority 4: r03-green refreshers (rowless since r03)
     "media_resize_reencode",
     "media_dup_decision",
@@ -146,9 +155,6 @@ _R05_WINDOW = [
     "crawl_serp_seeding",
     "crawl_seen_anti_join",
     "crawl_url_canonicalize",
-    "graph_domain_rank",
-    "crawl_tier_admission",
-    "crawl_smart_retry_terms",
 ]
 assert len(_R05_WINDOW) == 50, len(_R05_WINDOW)
 assert len(set(_R05_WINDOW)) == 50

@@ -1,0 +1,264 @@
+"""Invariant tests for the round-5 additions: weighted reservoir
+sampling (A-ES), triangle counting, embedding decontamination.
+
+The DuckDB oracle equivalence for all three is covered by
+tests/test_queries_oracle.py (parameterized over the whole registry)
+and the ANSI-on materialization by tests/test_ansi_sweep.py; this file
+pins the SEMANTIC invariants the oracle comparison cannot express —
+partitioning-independence, exact-K, triangle identities, plan shape.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pixcrawler_spark.queries import REGISTRY
+from pixcrawler_spark.queries.roundsix import (
+    EMB_DECON_MOD,
+    RSV_K,
+)
+
+SF = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+
+# ---------------------------------------------------------------------------
+# sample_reservoir_weighted
+# ---------------------------------------------------------------------------
+def test_reservoir_exact_k_per_lang(spark):
+    pdf = REGISTRY["sample_reservoir_weighted"].fn(spark, SF).toPandas()
+    counts = pdf.groupby("lang").size()
+    n_docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .groupBy("lang")
+        .count()
+        .toPandas()
+        .set_index("lang")["count"]
+    )
+    for lang, c in counts.items():
+        # exactly K when the language has >= K docs, else all of them
+        assert c == min(RSV_K, int(n_docs[lang])), (lang, c)
+
+
+def test_reservoir_partitioning_invariant(spark):
+    """The selected set is a pure function of the rows — identical no
+    matter how the input is partitioned (the cluster-size
+    reproducibility claim in the docstring)."""
+    q = REGISTRY["sample_reservoir_weighted"].fn
+    base = q(spark, SF).toPandas()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for nparts in (1, 7):
+        docs.repartition(nparts).createOrReplaceTempView("_rsv_probe")
+        # re-run the same expression pipeline over the reshuffled input
+        from pixcrawler_spark.operators import sketches as sk
+
+        d = spark.table("_rsv_probe")
+        u = (
+            (
+                sk.h60(
+                    F.concat(F.lit("rsv:"), F.col("doc_id").cast("string"))
+                )
+                % 1000000
+                + 1
+            )
+            / F.lit(1000001.0)
+        )
+        from pyspark.sql import Window
+
+        keyed = d.select(
+            "doc_id",
+            "lang",
+            F.size(F.split(F.trim(F.col("text")), r"\s+"))
+            .cast("bigint")
+            .alias("n_tok"),
+            u.alias("u"),
+        ).withColumn(
+            "k",
+            F.pow(F.col("u"), F.lit(1.0) / F.greatest("n_tok", F.lit(1))),
+        )
+        w = Window.partitionBy("lang").orderBy(F.desc("k"), F.asc("doc_id"))
+        got = (
+            keyed.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= RSV_K)
+            .select("lang", "doc_id")
+            .toPandas()
+        )
+        a = set(map(tuple, base[["lang", "doc_id"]].itertuples(index=False)))
+        b = set(map(tuple, got.itertuples(index=False)))
+        assert a == b, f"selection changed at nparts={nparts}"
+
+
+def test_reservoir_matches_brute_force(spark):
+    """Independent reimplementation: compute A-ES priorities in pure
+    Python (hashlib md5, math.pow) and take the top-K per lang."""
+    import hashlib
+
+    pdf = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "lang", "text")
+        .toPandas()
+    )
+
+    def prio(row):
+        h = int(
+            hashlib.md5(f"rsv:{row.doc_id}".encode()).hexdigest()[:15], 16
+        )
+        u = (h % 1000000 + 1) / 1000001.0
+        toks = len(row.text.strip().split()) if row.text.strip() else 1
+        w = max(toks, 1)
+        return u ** (1.0 / w)
+
+    pdf["k"] = [prio(r) for r in pdf.itertuples()]
+    expect = set()
+    for lang, grp in pdf.groupby("lang"):
+        top = grp.sort_values(["k", "doc_id"], ascending=[False, True]).head(
+            RSV_K
+        )
+        expect |= {(lang, int(d)) for d in top.doc_id}
+    got = REGISTRY["sample_reservoir_weighted"].fn(spark, SF).toPandas()
+    have = set(map(tuple, got[["lang", "doc_id"]].itertuples(index=False)))
+    assert have == expect
+
+
+def test_reservoir_plan_windowgrouplimit(spark):
+    """Scale guard: the per-group top-K must compile to
+    WindowGroupLimit (map-side partial top-K, O(K) state per task) —
+    a full sort-per-group regression would be quadratic memory on a
+    skewed language."""
+    df = REGISTRY["sample_reservoir_weighted"].fn(spark, SF01)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+# ---------------------------------------------------------------------------
+# graph_triangle_count
+# ---------------------------------------------------------------------------
+def test_triangle_identities(spark):
+    pdf = REGISTRY["graph_triangle_count"].fn(spark, SF01).toPandas()
+    # clustering coefficient is a ratio in [0, 1]
+    assert (pdf.clustering >= 0).all() and (pdf.clustering <= 1 + 1e-9).all()
+    # sum of per-node participation = 3 * number of triangles (each
+    # triangle has exactly 3 corners); check divisibility AND signal
+    # (the sf0.01 graph is sparse but far from triangle-free)
+    assert int(pdf.n_triangles.sum()) % 3 == 0
+    assert int(pdf.n_triangles.sum()) > 0
+    # a degree-1 node cannot close a triangle
+    assert (pdf.loc[pdf.degree < 2, "n_triangles"] == 0).all()
+
+
+def test_triangle_brute_force(spark):
+    """Independent check vs itertools over the materialized edge set
+    (sf0.01: ~10k edges, ~5.6k triangles — enough signal that an
+    enumeration bug cannot hide behind an empty graph)."""
+    from itertools import combinations
+
+    from pixcrawler_spark.queries.roundsix import _TRI_DST, _TRI_SRC
+
+    ev = spark.read.parquet(f"{SF01}/events.parquet").toPandas()
+    edges = set()
+    for r in ev.itertuples():
+        a, b = r.user_id % _TRI_SRC, r.event_id % _TRI_DST
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expect: dict[int, int] = {n: 0 for n in adj}
+    for n, nbrs in adj.items():
+        for x, y in combinations(sorted(nbrs), 2):
+            if x > n and y > n and (min(x, y), max(x, y)) in edges:
+                for c in (n, x, y):
+                    expect[c] += 1
+    assert sum(expect.values()) > 0  # signal: the fixture has triangles
+    pdf = REGISTRY["graph_triangle_count"].fn(spark, SF01).toPandas()
+    got = dict(zip(pdf.domain, pdf.n_triangles))
+    assert got == expect
+    deg = dict(zip(pdf.domain, pdf.degree))
+    assert deg == {n: len(v) for n, v in adj.items()}
+
+
+def test_triangle_oriented_outdegree_bounded(spark):
+    """The (degree, id) orientation's scale claim: max oriented
+    out-degree stays O(sqrt(E)) — verify on the fixture graph."""
+    from pixcrawler_spark.queries.roundsix import _TRI_DST, _TRI_SRC
+
+    ev = spark.read.parquet(f"{SF01}/events.parquet")
+    u = (F.col("user_id") % _TRI_SRC).cast("long")
+    v = (F.col("event_id") % _TRI_DST).cast("long")
+    und = (
+        ev.select(F.least(u, v).alias("lo"), F.greatest(u, v).alias("hi"))
+        .where(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+    n_edges = und.count()
+    deg = (
+        und.select(F.col("lo").alias("node"))
+        .unionAll(und.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .count()
+    ).toPandas()
+    order = {
+        int(r.node): (int(r["count"]), int(r.node))
+        for _, r in deg.iterrows()
+    }
+    out: dict[int, int] = {}
+    for r in und.toPandas().itertuples():
+        src = r.lo if order[r.lo] < order[r.hi] else r.hi
+        out[src] = out.get(src, 0) + 1
+    # Chiba-Nishizeki bound: oriented out-degree <= ~sqrt(2E) + small
+    assert max(out.values()) <= int(math.sqrt(2 * n_edges)) + 2
+
+
+# ---------------------------------------------------------------------------
+# text_decontaminate_embedding
+# ---------------------------------------------------------------------------
+def test_decontaminate_embedding_invariants(spark):
+    pdf = REGISTRY["text_decontaminate_embedding"].fn(spark, SF01).toPandas()
+    emb = spark.read.parquet(f"{SF01}/embeddings.parquet").toPandas()
+    corpus_ids = set(emb.vec_id[emb.vec_id % EMB_DECON_MOD != 0])
+    # exactly the corpus (benchmarks excluded), one row each
+    assert set(pdf.vec_id) == corpus_ids and len(pdf) == len(corpus_ids)
+    # cosine bounds
+    assert (pdf.max_benchmark_cosine <= 1 + 1e-6).all()
+    assert (pdf.max_benchmark_cosine >= -1 - 1e-6).all()
+    # the flag is consistent with the reported score
+    from pixcrawler_spark.queries.roundsix import EMB_DECON_TAU
+
+    hot = pdf.max_benchmark_cosine >= EMB_DECON_TAU + 1e-6
+    cold = pdf.max_benchmark_cosine <= EMB_DECON_TAU - 1e-6
+    assert (pdf.loc[hot, "contaminated"] == 1).all()
+    assert (pdf.loc[cold, "contaminated"] == 0).all()
+
+
+def test_decontaminate_embedding_matches_numpy(spark):
+    """Independent max-cosine via numpy over the same split."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").toPandas()
+    mat = np.array(emb.embedding.tolist(), dtype=np.float64)
+    norm = np.linalg.norm(mat, axis=1)
+    is_b = (emb.vec_id % EMB_DECON_MOD == 0).to_numpy()
+    sims = (mat[~is_b] @ mat[is_b].T) / np.outer(norm[~is_b], norm[is_b])
+    expect = dict(
+        zip(emb.vec_id[~is_b], np.round(sims.max(axis=1), 6))
+    )
+    pdf = REGISTRY["text_decontaminate_embedding"].fn(spark, SF).toPandas()
+    for r in pdf.itertuples():
+        assert abs(expect[r.vec_id] - r.max_benchmark_cosine) <= 1e-6, (
+            r.vec_id
+        )
+
+
+def test_decontaminate_embedding_no_corpus_shuffle(spark):
+    """Scale guard: the corpus side must stay a pure map — the only
+    Exchanges allowed are the under-split-guard RoundRobin repartition
+    (load_table), the 1-row benchmark collect, and its broadcast. No
+    hash-partitioning of the corpus (a groupBy regression would
+    shuffle 100 TB)."""
+    df = REGISTRY["text_decontaminate_embedding"].fn(spark, SF01)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in plan.lower()
