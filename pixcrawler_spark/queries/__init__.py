@@ -117,10 +117,11 @@ _R05_WINDOW = [
     # priority 3: new r05 queries (each replaced one tail refresher
     # below to keep the window at exactly 50; the displaced
     # graph_domain_rank / crawl_tier_admission / crawl_smart_retry_terms
-    # are all r03-green)
+    # / crawl_url_canonicalize are all r03-green)
     "sample_reservoir_weighted",
     "graph_triangle_count",
     "text_decontaminate_embedding",
+    "crawl_bandit_ucb",
     # priority 4: r03-green refreshers (rowless since r03)
     "media_resize_reencode",
     "media_dup_decision",
@@ -154,7 +155,6 @@ _R05_WINDOW = [
     "crawl_priority_order",
     "crawl_serp_seeding",
     "crawl_seen_anti_join",
-    "crawl_url_canonicalize",
 ]
 assert len(_R05_WINDOW) == 50, len(_R05_WINDOW)
 assert len(set(_R05_WINDOW)) == 50

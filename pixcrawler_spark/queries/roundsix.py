@@ -1,7 +1,8 @@
 """Round-5 queries: weighted reservoir sampling, triangle counting,
-and embedding-space benchmark decontamination.
+embedding-space benchmark decontamination, and UCB1 bandit
+crawl scheduling.
 
-Three operators a web-scale training-data pipeline runs that the
+Four operators a web-scale training-data pipeline runs that the
 engine did not yet cover:
 
 - ``sample_reservoir_weighted``: one-pass distributed weighted
@@ -22,6 +23,11 @@ engine did not yet cover:
   the exact n-gram path (text_decontaminate) the way SemDeDup
   complements MinHash: catches paraphrased/near-verbatim eval
   leakage that token overlap misses.
+- ``crawl_bandit_ucb``: UCB1 explore/exploit crawl-budget
+  scheduling (Auer et al. 2002) — the principled replacement for the
+  reference's static engine rotation: domains are arms, fetches are
+  pulls, and under-sampled hosts earn optimism bonuses so the
+  scheduler provably bounds regret against the best fixed host mix.
 
 Reference analogs: the duplicate/variation handling of
 validator/integrity.py (exact hashing only — no weighted selection,
@@ -365,5 +371,81 @@ def text_decontaminate_embedding(
             .otherwise(F.lit(0))
             .cast("bigint")
             .alias("contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# crawl_bandit_ucb — explore/exploit crawl-budget scheduling
+# ---------------------------------------------------------------------------
+UCB_REWARD_THRESHOLD = 100.0  # a fetch "pays off" iff value > this
+UCB_TOP_K = 25  # domains granted explore budget next round
+
+
+@register(
+    "crawl_bandit_ucb",
+    oracle=f"""
+    WITH pulls AS (
+      SELECT CAST(user_id % 50 AS BIGINT) AS domain,
+             COUNT(*)::BIGINT AS n_pulls,
+             SUM(CASE WHEN value > {UCB_REWARD_THRESHOLD!r} THEN 1
+                 ELSE 0 END)::BIGINT AS n_rewards
+      FROM events GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n_pulls)::BIGINT AS n_total FROM pulls),
+    scored AS (
+      SELECT domain, n_pulls, n_rewards,
+             n_rewards::DOUBLE / n_pulls
+             + sqrt(2.0 * ln(n_total::DOUBLE) / n_pulls) AS ucb_raw
+      FROM pulls, tot
+    )
+    SELECT domain, n_pulls, n_rewards,
+           ROUND(n_rewards::DOUBLE / n_pulls, 6) AS mean_reward,
+           ROUND(ucb_raw, 6) AS ucb_score
+    FROM scored
+    ORDER BY ucb_raw DESC, domain
+    LIMIT {UCB_TOP_K}
+    """,
+    doc=f"UCB1 bandit crawl scheduling: each domain is an arm, a fetch "
+    f"is a pull, reward = novel content found (value > "
+    f"{UCB_REWARD_THRESHOLD:g}); the next round's explore budget goes "
+    f"to the top-{UCB_TOP_K} domains by mean + sqrt(2 ln N / n) — "
+    "under-sampled domains get optimism bonuses, so the scheduler "
+    "provably balances exploiting productive hosts against probing "
+    "rarely-fetched ones (Auer et al. 2002 regret bound). One "
+    "domain-keyed aggregate with map-side partials + a 1-row total "
+    "broadcast; the top-K is TakeOrderedAndProject (per-partition "
+    "partial top-K, never a global sort) — at 10^8 domains the plan "
+    "moves only the aggregate rows and K survivors.",
+)
+def crawl_bandit_ucb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pulls = ev.groupBy(
+        (F.col("user_id") % 50).cast("bigint").alias("domain")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pulls"),
+        F.sum(
+            F.when(F.col("value") > UCB_REWARD_THRESHOLD, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_rewards"),
+    )
+    tot = pulls.agg(F.sum("n_pulls").cast("bigint").alias("n_total"))
+    ucb_raw = F.col("n_rewards").cast("double") / F.col("n_pulls") + F.sqrt(
+        2.0 * F.log(F.col("n_total").cast("double")) / F.col("n_pulls")
+    )
+    return (
+        pulls.crossJoin(F.broadcast(tot))
+        .withColumn("ucb_raw", ucb_raw)
+        .orderBy(F.desc("ucb_raw"), F.asc("domain"))
+        .limit(UCB_TOP_K)
+        .select(
+            "domain",
+            "n_pulls",
+            "n_rewards",
+            F.round(
+                F.col("n_rewards").cast("double") / F.col("n_pulls"), 6
+            ).alias("mean_reward"),
+            F.round("ucb_raw", 6).alias("ucb_score"),
         )
     )

@@ -1,5 +1,6 @@
 """Invariant tests for the round-5 additions: weighted reservoir
-sampling (A-ES), triangle counting, embedding decontamination.
+sampling (A-ES), triangle counting, embedding decontamination, and
+UCB1 bandit scheduling.
 
 The DuckDB oracle equivalence for all three is covered by
 tests/test_queries_oracle.py (parameterized over the whole registry)
@@ -262,3 +263,60 @@ def test_decontaminate_embedding_no_corpus_shuffle(spark):
     df = REGISTRY["text_decontaminate_embedding"].fn(spark, SF01)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning" not in plan.lower()
+
+
+# ---------------------------------------------------------------------------
+# crawl_bandit_ucb
+# ---------------------------------------------------------------------------
+def test_bandit_ucb_matches_brute_force(spark):
+    """Independent UCB1 computation over the full arm set; the Spark
+    top-K must equal the brute-force top-K under the same (ucb desc,
+    domain asc) order."""
+    import math as m
+
+    from pixcrawler_spark.queries.roundsix import (
+        UCB_REWARD_THRESHOLD,
+        UCB_TOP_K,
+    )
+
+    ev = spark.read.parquet(f"{SF01}/events.parquet").toPandas()
+    ev["domain"] = ev.user_id % 50
+    ev["reward"] = (ev.value > UCB_REWARD_THRESHOLD).astype(int)
+    g = ev.groupby("domain").agg(
+        n_pulls=("reward", "size"), n_rewards=("reward", "sum")
+    )
+    n_total = int(g.n_pulls.sum())
+    g["ucb_raw"] = g.n_rewards / g.n_pulls + (
+        (2.0 * m.log(n_total) / g.n_pulls) ** 0.5
+    )
+    expect = (
+        g.sort_values(["ucb_raw", "domain"], ascending=[False, True])
+        .head(UCB_TOP_K)
+        .reset_index()
+    )
+    got = REGISTRY["crawl_bandit_ucb"].fn(spark, SF01).toPandas()
+    assert list(got.domain) == list(expect.domain)
+    assert list(got.n_pulls) == list(expect.n_pulls.astype(int))
+    for a, b in zip(got.ucb_score, expect.ucb_raw):
+        assert abs(a - round(b, 6)) <= 1e-9
+
+
+def test_bandit_ucb_optimism_property(spark):
+    """The UCB bonus must favor under-sampled arms: among returned
+    rows with equal mean_reward, fewer pulls => strictly higher
+    ucb_score (the exploration guarantee)."""
+    pdf = REGISTRY["crawl_bandit_ucb"].fn(spark, SF01).toPandas()
+    for mean, grp in pdf.groupby("mean_reward"):
+        if len(grp) < 2:
+            continue
+        g = grp.sort_values("n_pulls")
+        scores = list(g.ucb_score)
+        assert scores == sorted(scores, reverse=True), (mean, scores)
+
+
+def test_bandit_ucb_plan_take_ordered(spark):
+    """Scale guard: the top-K must be TakeOrderedAndProject (partial
+    per-partition top-K), never a global Sort."""
+    df = REGISTRY["crawl_bandit_ucb"].fn(spark, SF01)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
