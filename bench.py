@@ -72,6 +72,11 @@ HEADLINE = [
     "sample_reservoir_weighted",
     "graph_triangle_count",
     "text_decontaminate_embedding",
+    # round 5: bandit scheduling, LPA communities, HRW shards, holdout
+    "crawl_bandit_ucb",
+    "graph_label_propagation",
+    "crawl_shard_rendezvous",
+    "sample_holdout_split",
 ]
 
 

@@ -117,11 +117,15 @@ _R05_WINDOW = [
     # priority 3: new r05 queries (each replaced one tail refresher
     # below to keep the window at exactly 50; the displaced
     # graph_domain_rank / crawl_tier_admission / crawl_smart_retry_terms
-    # / crawl_url_canonicalize are all r03-green)
+    # / crawl_url_canonicalize / ann_srp_bucket_stats /
+    # ann_ivf_list_stats / text_bottomk_sketch are all r03-green)
     "sample_reservoir_weighted",
     "graph_triangle_count",
     "text_decontaminate_embedding",
     "crawl_bandit_ucb",
+    "graph_label_propagation",
+    "crawl_shard_rendezvous",
+    "sample_holdout_split",
     # priority 4: r03-green refreshers (rowless since r03)
     "media_resize_reencode",
     "media_dup_decision",
@@ -140,14 +144,11 @@ _R05_WINDOW = [
     "ann_cosine_topk",
     "ann_srp_lsh_topk",
     "ann_srp_multiprobe_topk",
-    "ann_srp_bucket_stats",
     "ann_ivf_topk",
-    "ann_ivf_list_stats",
     "ann_recall_at_k",
     "text_stats",
     "text_lang_confusion",
     "text_token_bpe",
-    "text_bottomk_sketch",
     "text_keyword_extract",
     "text_repetition_quality",
     "crawl_fetch_decision",

@@ -449,3 +449,318 @@ def crawl_bandit_ucb(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("ucb_raw", 6).alias("ucb_score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_label_propagation — community detection over the link graph
+# ---------------------------------------------------------------------------
+_LPA_SRC = 911  # node-id moduli; distinct from the triangle probe so
+_LPA_DST = 907  # the two graph fixtures are independent
+LPA_ROUNDS = 3  # synchronous unrolled rounds (fixed, like the
+#                 PageRank/HITS/OPIC unrolls: no convergence loop)
+
+_LPA_EDGES_SQL = f"""
+    raw AS (
+      SELECT DISTINCT
+        CAST(least(user_id % {_LPA_SRC}, event_id % {_LPA_DST}) AS BIGINT) AS lo,
+        CAST(greatest(user_id % {_LPA_SRC}, event_id % {_LPA_DST}) AS BIGINT) AS hi
+      FROM events
+      WHERE user_id % {_LPA_SRC} <> event_id % {_LPA_DST}
+    ),
+    und AS (
+      SELECT lo AS src, hi AS dst FROM raw
+      UNION ALL SELECT hi AS src, lo AS dst FROM raw
+    )
+"""
+
+
+def _lpa_round_sql(prev: str, cur: str) -> str:
+    """One synchronous LPA round as two CTEs (counts + argmax)."""
+    return f"""
+    {cur}_c AS (
+      SELECT und.dst AS node, p.label, CAST(count(*) AS BIGINT) AS c
+      FROM und JOIN {prev} p ON p.node = und.src
+      GROUP BY 1, 2
+    ),
+    {cur} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (
+                 PARTITION BY node ORDER BY c DESC, label ASC
+               ) AS rn
+        FROM {cur}_c
+      ) WHERE rn = 1
+    )"""
+
+
+@register(
+    "graph_label_propagation",
+    oracle=f"""
+    WITH {_LPA_EDGES_SQL},
+    l0 AS (
+      SELECT node, node AS label FROM (
+        SELECT DISTINCT lo AS node FROM raw
+        UNION SELECT DISTINCT hi AS node FROM raw
+      )
+    ),
+    {",".join(_lpa_round_sql(f"l{r}", f"l{r + 1}") for r in range(LPA_ROUNDS))}
+    SELECT label AS community,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(min(node) AS BIGINT) AS min_member,
+           CAST(max(node) AS BIGINT) AS max_member
+    FROM l{LPA_ROUNDS} GROUP BY label
+    """,
+    doc=f"Community detection by {LPA_ROUNDS} synchronous label-"
+    "propagation rounds (Raghavan et al. 2007) over the undirected "
+    "domain link graph — the mirror-farm / content-ring grouping "
+    "signal exact dedup misses. Every node starts labelled by itself; "
+    "each round it adopts the most frequent neighbor label (ties to "
+    "the smallest label, making the sweep deterministic — vanilla LPA "
+    "breaks ties randomly and is irreproducible across runs). Each "
+    "round is one O(E) edges-to-labels join + a (node, label) count + "
+    "a per-node argmax, the same bounded-shuffle shape as the "
+    "PageRank/HITS unrolls; labels persist per round so lineage stays "
+    "linear (the CC operator's exponential-lineage lesson).",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = (F.col("user_id") % _LPA_SRC).cast("long")
+    v = (F.col("event_id") % _LPA_DST).cast("long")
+    raw = (
+        ev.select(
+            F.least(u, v).alias("lo"), F.greatest(u, v).alias("hi")
+        )
+        .where(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+    und = (
+        raw.select(F.col("lo").alias("src"), F.col("hi").alias("dst"))
+        .unionAll(raw.select(F.col("hi").alias("src"), F.col("lo").alias("dst")))
+        .persist()
+    )
+    labels = (
+        und.select(F.col("src").alias("node")).distinct()
+        .select("node", F.col("node").alias("label"))
+        .persist()
+    )
+    for _ in range(LPA_ROUNDS):
+        msgs = und.join(
+            labels.withColumnRenamed("node", "src"), "src"
+        ).select(F.col("dst").alias("node"), "label")
+        counts = msgs.groupBy("node", "label").agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        )
+        # deterministic argmax: max count, then smallest label
+        nxt = (
+            counts.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("c")).alias("nc"),
+                        F.col("label").alias("l"),
+                    )
+                ).alias("best")
+            )
+            .select("node", F.col("best.l").alias("label"))
+            .persist()
+        )
+        nxt.count()  # materialize before unpersisting the parent
+        labels.unpersist()
+        labels = nxt
+    return labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.min("node").cast("bigint").alias("min_member"),
+        F.max("node").cast("bigint").alias("max_member"),
+    ).select(
+        F.col("label").alias("community"),
+        "n_members",
+        "min_member",
+        "max_member",
+    )
+
+
+# ---------------------------------------------------------------------------
+# crawl_shard_rendezvous — HRW fetcher-shard assignment
+# ---------------------------------------------------------------------------
+HRW_HOST_MOD = 1499  # distinct synthetic hosts in the fixture
+HRW_SHARDS = 16  # current fetcher fleet size
+HRW_SHARDS_GROWN = 17  # fleet after adding ONE fetcher
+
+
+@register(
+    "crawl_shard_rendezvous",
+    oracle=f"""
+    WITH hosts AS (
+      SELECT DISTINCT 'h' || CAST(user_id % {HRW_HOST_MOD} AS VARCHAR)
+        AS host
+      FROM events
+    ),
+    s16 AS (
+      SELECT host, shard FROM (
+        SELECT h.host, g.range AS shard,
+               {sk.sql_h60("'hrw:' || h.host || ':' || CAST(g.range AS VARCHAR)")}
+                 AS score,
+               row_number() OVER (
+                 PARTITION BY h.host
+                 ORDER BY {sk.sql_h60("'hrw:' || h.host || ':' || CAST(g.range AS VARCHAR)")}
+                   DESC, g.range
+               ) AS rn
+        FROM hosts h CROSS JOIN range({HRW_SHARDS}) g
+      ) WHERE rn = 1
+    ),
+    s17 AS (
+      SELECT host, shard FROM (
+        SELECT h.host, g.range AS shard,
+               {sk.sql_h60("'hrw:' || h.host || ':' || CAST(g.range AS VARCHAR)")}
+                 AS score,
+               row_number() OVER (
+                 PARTITION BY h.host
+                 ORDER BY {sk.sql_h60("'hrw:' || h.host || ':' || CAST(g.range AS VARCHAR)")}
+                   DESC, g.range
+               ) AS rn
+        FROM hosts h CROSS JOIN range({HRW_SHARDS_GROWN}) g
+      ) WHERE rn = 1
+    )
+    SELECT CAST(s16.shard AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_hosts,
+           CAST(SUM(CASE WHEN s17.shard <> s16.shard THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_remapped
+    FROM s16 JOIN s17 USING (host)
+    GROUP BY 1
+    """,
+    doc=f"Rendezvous (highest-random-weight) hashing of hosts onto "
+    f"{HRW_SHARDS} fetcher shards (Thaler & Ravishankar 1998) — the "
+    "politeness-preserving shard map: every url of a host lands on "
+    "ONE fetcher (per-host rate limits need no coordination), and "
+    f"growing the fleet to {HRW_SHARDS_GROWN} remaps only ~1/"
+    f"{HRW_SHARDS_GROWN} of hosts, every one of them TO the new "
+    "shard — modulo hashing would reshuffle ~15/16 of all hosts and "
+    "reset every politeness clock. Assignment is a per-row argmax "
+    "over a literal score array — a pure map with zero shuffle after "
+    "the host distinct; the output agg has at most "
+    f"{HRW_SHARDS} rows.",
+)
+def crawl_shard_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hosts = ev.select(
+        F.concat(
+            F.lit("h"), (F.col("user_id") % HRW_HOST_MOD).cast("string")
+        ).alias("host")
+    ).distinct()
+
+    def assign(n_shards: int) -> F.Column:
+        # literal array of (score, shard) structs; array_max picks the
+        # lexicographic max = highest score (ties -> highest shard,
+        # matching the oracle's DESC, shard rn=1 ... scores are 60-bit
+        # md5 halves, collisions are ~2^-60 so tie order is moot, but
+        # keep both sides identical anyway: oracle orders shard ASC on
+        # ties, so mirror with -shard in the struct)
+        return F.array_max(
+            F.array(
+                *[
+                    F.struct(
+                        sk.h60(
+                            F.concat(F.lit("hrw:"), F.col("host"), F.lit(f":{s}"))
+                        ).alias("score"),
+                        F.lit(-s).cast("bigint").alias("nshard"),
+                    )
+                    for s in range(n_shards)
+                ]
+            )
+        )
+
+    assigned = hosts.select(
+        "host",
+        (-assign(HRW_SHARDS).getField("nshard")).cast("bigint").alias("shard"),
+        (-assign(HRW_SHARDS_GROWN).getField("nshard"))
+        .cast("bigint")
+        .alias("shard_grown"),
+    )
+    return (
+        assigned.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hosts"),
+            F.sum(
+                F.when(F.col("shard_grown") != F.col("shard"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_remapped"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sample_holdout_split — deterministic stratified train/val/test split
+# ---------------------------------------------------------------------------
+SPLIT_TRAIN = 800_000  # of 1_000_000 hash buckets -> 80%
+SPLIT_VAL = 900_000  # next 10%; rest is test
+
+_SPLIT_BUCKET_SQL = sk.sql_h60("'split:' || CAST(doc_id AS VARCHAR)") + " % 1000000"
+
+
+@register(
+    "sample_holdout_split",
+    oracle=f"""
+    WITH d AS (
+      SELECT lang,
+             CASE WHEN {_SPLIT_BUCKET_SQL} < {SPLIT_TRAIN} THEN 'train'
+                  WHEN {_SPLIT_BUCKET_SQL} < {SPLIT_VAL} THEN 'val'
+                  ELSE 'test' END AS split,
+             {_RSV_NTOK_SQL} AS n_tok
+      FROM documents
+    ),
+    g AS (
+      SELECT lang, split,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens
+      FROM d GROUP BY 1, 2
+    )
+    SELECT lang, split, n_docs, n_tokens,
+           round(n_docs::DOUBLE / sum(n_docs) OVER (PARTITION BY lang), 4)
+             AS frac
+    FROM g
+    """,
+    doc="Deterministic stratified 80/10/10 train/val/test holdout: each "
+    "doc's split is a pure function of its id (60-bit hash bucket), so "
+    "membership is reproducible across runs, engines, and cluster "
+    "sizes, docs never migrate between splits as the corpus grows "
+    "(the eval-set stability property a time- or position-based split "
+    "lacks), and no split table needs to be stored or joined. "
+    "Map-only split assignment + one bounded (lang, split) aggregate; "
+    "the per-lang fraction window runs over at most 3 rows per lang.",
+)
+def sample_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        sk.h60(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+        % 1_000_000
+    )
+    split = (
+        F.when(bucket < SPLIT_TRAIN, "train")
+        .when(bucket < SPLIT_VAL, "val")
+        .otherwise("test")
+    )
+    g = (
+        d.select(
+            "lang",
+            split.alias("split"),
+            F.size(F.split(F.trim(F.col("text")), r"\s+"))
+            .cast("bigint")
+            .alias("n_tok"),
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+    )
+    w = Window.partitionBy("lang")
+    return g.select(
+        "lang",
+        "split",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(w), 4
+        ).alias("frac"),
+    )

@@ -320,3 +320,191 @@ def test_bandit_ucb_plan_take_ordered(spark):
     df = REGISTRY["crawl_bandit_ucb"].fn(spark, SF01)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------------------
+# graph_label_propagation
+# ---------------------------------------------------------------------------
+def _lpa_brute(sf_dir, spark):
+    """Independent pandas LPA with the same deterministic argmax."""
+    from collections import Counter
+
+    from pixcrawler_spark.queries.roundsix import (
+        _LPA_DST,
+        _LPA_SRC,
+        LPA_ROUNDS,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    edges = set()
+    for u, v in zip(ev.user_id % _LPA_SRC, ev.event_id % _LPA_DST):
+        u, v = int(u), int(v)
+        if u != v:
+            edges.add((min(u, v), max(u, v)))
+    nbrs: dict[int, list[int]] = {}
+    for a, b in edges:
+        nbrs.setdefault(a, []).append(b)
+        nbrs.setdefault(b, []).append(a)
+    labels = {n: n for n in nbrs}
+    for _ in range(LPA_ROUNDS):
+        nxt = {}
+        for n, ns in nbrs.items():
+            c = Counter(labels[m] for m in ns)
+            # max count, then smallest label
+            nxt[n] = min((-cnt, lab) for lab, cnt in c.items())[1]
+        labels = nxt
+    return labels
+
+
+def test_lpa_matches_brute_force(spark):
+    labels = _lpa_brute(SF, spark)
+    from collections import Counter
+
+    sizes = Counter(labels.values())
+    expect = {
+        lab: (
+            cnt,
+            min(n for n, l2 in labels.items() if l2 == lab),
+            max(n for n, l2 in labels.items() if l2 == lab),
+        )
+        for lab, cnt in sizes.items()
+    }
+    got = REGISTRY["graph_label_propagation"].fn(spark, SF).toPandas()
+    assert len(got) == len(expect)
+    for row in got.itertuples():
+        cnt, lo, hi = expect[row.community]
+        assert (row.n_members, row.min_member, row.max_member) == (
+            cnt,
+            lo,
+            hi,
+        ), row
+
+
+def test_lpa_members_partition_nodes(spark):
+    """Community sizes must sum to the node count: every node gets
+    exactly one label (synchronous update, no drops)."""
+    got = REGISTRY["graph_label_propagation"].fn(spark, SF01).toPandas()
+    labels = _lpa_brute(SF01, spark)
+    assert int(got.n_members.sum()) == len(labels)
+    assert (got.min_member >= 0).all()
+    assert (got.min_member <= got.max_member).all()
+
+
+# ---------------------------------------------------------------------------
+# crawl_shard_rendezvous
+# ---------------------------------------------------------------------------
+def test_hrw_minimal_remap(spark):
+    """Growing the fleet by one shard must remap roughly 1/17 of hosts
+    (HRW's minimal-disruption guarantee); modulo hashing would remap
+    ~15/16. Tolerance: binomial 5 sigma on the fixture's host count."""
+    from pixcrawler_spark.queries.roundsix import HRW_SHARDS_GROWN
+
+    pdf = REGISTRY["crawl_shard_rendezvous"].fn(spark, SF01).toPandas()
+    n_hosts = int(pdf.n_hosts.sum())
+    n_remap = int(pdf.n_remapped.sum())
+    p = 1.0 / HRW_SHARDS_GROWN
+    sigma = (n_hosts * p * (1 - p)) ** 0.5
+    assert abs(n_remap - n_hosts * p) <= 5 * sigma, (n_remap, n_hosts)
+
+
+def test_hrw_remaps_go_to_new_shard_only(spark):
+    """Every remapped host must land on the NEW shard — an existing
+    host never moves between surviving shards (per-host politeness
+    clocks on old shards are undisturbed)."""
+    from pixcrawler_spark.operators import sketches as sk
+    from pixcrawler_spark.queries.roundsix import (
+        HRW_HOST_MOD,
+        HRW_SHARDS,
+        HRW_SHARDS_GROWN,
+    )
+
+    ev = spark.read.parquet(f"{SF01}/events.parquet")
+    hosts = ev.select(
+        F.concat(
+            F.lit("h"), (F.col("user_id") % HRW_HOST_MOD).cast("string")
+        ).alias("host")
+    ).distinct()
+
+    def assign(n):
+        return (
+            -F.array_max(
+                F.array(
+                    *[
+                        F.struct(
+                            sk.h60(
+                                F.concat(
+                                    F.lit("hrw:"),
+                                    F.col("host"),
+                                    F.lit(f":{s}"),
+                                )
+                            ).alias("score"),
+                            F.lit(-s).cast("bigint").alias("nshard"),
+                        )
+                        for s in range(n)
+                    ]
+                )
+            ).getField("nshard")
+        ).cast("bigint")
+
+    pdf = hosts.select(
+        assign(HRW_SHARDS).alias("s16"),
+        assign(HRW_SHARDS_GROWN).alias("s17"),
+    ).toPandas()
+    moved = pdf[pdf.s16 != pdf.s17]
+    assert len(moved) > 0
+    assert (moved.s17 == HRW_SHARDS_GROWN - 1).all()
+
+
+def test_hrw_balance(spark):
+    """HRW load balance: no shard holds more than 2x the mean host
+    count (uniform hashing over 16 shards, ~94 hosts/shard expected)."""
+    pdf = REGISTRY["crawl_shard_rendezvous"].fn(spark, SF01).toPandas()
+    from pixcrawler_spark.queries.roundsix import HRW_SHARDS
+
+    assert len(pdf) == HRW_SHARDS  # every shard got SOME host
+    mean = pdf.n_hosts.mean()
+    assert pdf.n_hosts.max() <= 2 * mean, pdf.n_hosts.describe()
+
+
+def test_hrw_assignment_map_only(spark):
+    """Scale guard: after the host distinct, the shard argmax must be
+    a pure projection — exactly ONE exchange in the whole plan (the
+    distinct) plus the single final 16-key agg."""
+    df = REGISTRY["crawl_shard_rendezvous"].fn(spark, SF01)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # distinct + bounded final agg = at most 2 shuffle exchanges; the
+    # argmax itself must add none
+    assert plan.lower().count("exchange hashpartitioning") <= 2, plan
+
+
+# ---------------------------------------------------------------------------
+# sample_holdout_split
+# ---------------------------------------------------------------------------
+def test_holdout_fractions_and_stability(spark):
+    """Split fractions must be ~80/10/10 per language, and a doc's
+    split must be a pure function of doc_id (identical across two
+    independent evaluations)."""
+    a = REGISTRY["sample_holdout_split"].fn(spark, SF01).toPandas()
+    b = REGISTRY["sample_holdout_split"].fn(spark, SF01).toPandas()
+    key = ["lang", "split"]
+    assert a.sort_values(key).reset_index(drop=True).equals(
+        b.sort_values(key).reset_index(drop=True)
+    )
+    total = a.groupby("lang").n_docs.sum()
+    for (lang, split), grp in a.groupby(["lang", "split"]):
+        frac = grp.n_docs.iloc[0] / total[lang]
+        want = {"train": 0.8, "val": 0.1, "test": 0.1}[split]
+        n = total[lang]
+        sigma = (want * (1 - want) / n) ** 0.5
+        assert abs(frac - want) <= 6 * sigma + 1.0 / n, (lang, split, frac)
+
+
+def test_holdout_covers_corpus_exactly(spark):
+    """The three splits partition the corpus: n_docs sums to the table
+    count and every (lang, split) frac sums to 1 per lang."""
+    pdf = REGISTRY["sample_holdout_split"].fn(spark, SF01).toPandas()
+    n = spark.read.parquet(f"{SF01}/documents.parquet").count()
+    assert int(pdf.n_docs.sum()) == n
+    for lang, grp in pdf.groupby("lang"):
+        assert set(grp.split) == {"train", "val", "test"}
+        assert abs(grp.frac.sum() - 1.0) <= 0.0005  # rounding to 4dp
