@@ -77,6 +77,7 @@ HEADLINE = [
     "graph_label_propagation",
     "crawl_shard_rendezvous",
     "sample_holdout_split",
+    "text_char_entropy",
 ]
 
 

@@ -118,7 +118,8 @@ _R05_WINDOW = [
     # below to keep the window at exactly 50; the displaced
     # graph_domain_rank / crawl_tier_admission / crawl_smart_retry_terms
     # / crawl_url_canonicalize / ann_srp_bucket_stats /
-    # ann_ivf_list_stats / text_bottomk_sketch are all r03-green)
+    # ann_ivf_list_stats / text_bottomk_sketch / text_keyword_extract
+    # are all r03-green)
     "sample_reservoir_weighted",
     "graph_triangle_count",
     "text_decontaminate_embedding",
@@ -126,6 +127,7 @@ _R05_WINDOW = [
     "graph_label_propagation",
     "crawl_shard_rendezvous",
     "sample_holdout_split",
+    "text_char_entropy",
     # priority 4: r03-green refreshers (rowless since r03)
     "media_resize_reencode",
     "media_dup_decision",
@@ -149,7 +151,6 @@ _R05_WINDOW = [
     "text_stats",
     "text_lang_confusion",
     "text_token_bpe",
-    "text_keyword_extract",
     "text_repetition_quality",
     "crawl_fetch_decision",
     "crawl_politeness_admission",

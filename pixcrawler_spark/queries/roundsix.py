@@ -764,3 +764,96 @@ def sample_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_docs").cast("double") / F.sum("n_docs").over(w), 4
         ).alias("frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_char_entropy — Shannon-entropy gibberish gate
+# ---------------------------------------------------------------------------
+ENT_CAP = 2000  # chars sampled per doc (prefix) — bounds the per-row
+#                 fold at O(distinct_chars x CAP) regardless of doc size
+ENT_LOW = 2.5  # bits/char below -> repetitive spam (aaaa..., kw stuffing)
+ENT_HIGH = 5.2  # bits/char above -> encoded junk (base64 blobs, minified
+#                 binary-in-text); clean English prose sits ~3.9-4.4
+
+
+@register(
+    "text_char_entropy",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, substr(text, 1, {ENT_CAP}) AS t FROM documents
+    ),
+    c AS (
+      SELECT doc_id, greatest(length(t), 1) AS n,
+             list_transform(range(1, greatest(length(t), 1) + 1),
+                            i -> substr(t, CAST(i AS INTEGER), 1)) AS chars
+      FROM d
+    ),
+    h AS (
+      SELECT doc_id, n,
+             list_transform(list_distinct(chars),
+               c2 -> len(list_filter(chars, x -> x = c2))::BIGINT) AS hist
+      FROM c
+    ),
+    e AS (
+      SELECT doc_id, n,
+             -list_sum(list_transform(hist,
+                cnt -> (cnt::DOUBLE / n) * log2(cnt::DOUBLE / n))) AS ent
+      FROM h
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_sampled,
+           round(ent, 4) AS char_entropy,
+           CASE WHEN ent < {ENT_LOW} THEN 'low'
+                WHEN ent > {ENT_HIGH} THEN 'high'
+                ELSE 'ok' END AS entropy_flag
+    FROM e
+    """,
+    doc=f"Shannon character entropy (bits/char over the first {ENT_CAP} "
+    "chars) as a gibberish gate: repetitive spam (keyword stuffing, "
+    f"aaaa-padding) scores < {ENT_LOW}, encoded junk (base64 blobs, "
+    f"binary-in-text) scores > {ENT_HIGH}, prose sits ~4. The whole "
+    "computation is per-row JVM array expressions — char array, "
+    "distinct, histogram, entropy fold — each STAGED as its own "
+    "column so no higher-order lambda re-inlines its input (the "
+    "winnow CSE trap): zero shuffle, a pure map at 100 TB.",
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    df = d.select(
+        "doc_id", F.substring(F.col("text"), 1, ENT_CAP).alias("t")
+    )
+    df = df.withColumn("n", F.greatest(F.length("t"), F.lit(1)))
+    # stage each array as a real column: attribute refs, never
+    # composite expressions, inside the downstream lambdas
+    df = df.withColumn(
+        "chars",
+        F.transform(
+            F.sequence(F.lit(1), F.col("n")),
+            lambda i: F.col("t").substr(i, F.lit(1)),
+        ),
+    )
+    df = df.withColumn("dchars", F.array_distinct("chars"))
+    df = df.withColumn(
+        "hist",
+        F.transform(
+            F.col("dchars"),
+            lambda c: F.size(
+                F.filter(F.col("chars"), lambda x: x == c)
+            ).cast("bigint"),
+        ),
+    )
+    ent = -F.aggregate(
+        F.col("hist"),
+        F.lit(0.0),
+        lambda acc, cnt: acc
+        + (cnt.cast("double") / F.col("n"))
+        * F.log2(cnt.cast("double") / F.col("n")),
+    )
+    return df.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_sampled"),
+        F.round(ent, 4).alias("char_entropy"),
+        F.when(ent < ENT_LOW, "low")
+        .when(ent > ENT_HIGH, "high")
+        .otherwise("ok")
+        .alias("entropy_flag"),
+    )

@@ -508,3 +508,75 @@ def test_holdout_covers_corpus_exactly(spark):
     for lang, grp in pdf.groupby("lang"):
         assert set(grp.split) == {"train", "val", "test"}
         assert abs(grp.frac.sum() - 1.0) <= 0.0005  # rounding to 4dp
+
+
+# ---------------------------------------------------------------------------
+# text_char_entropy
+# ---------------------------------------------------------------------------
+def test_char_entropy_matches_numpy(spark):
+    """Independent numpy entropy over the same capped prefix."""
+    from collections import Counter
+
+    import numpy as np
+
+    from pixcrawler_spark.queries.roundsix import ENT_CAP
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    got = (
+        REGISTRY["text_char_entropy"].fn(spark, SF).toPandas()
+        .set_index("doc_id")
+    )
+    for row in docs.itertuples():
+        t = (row.text or "")[:ENT_CAP]
+        n = max(len(t), 1)
+        counts = np.array(list(Counter(t if t else [""]).values()))
+        p = counts / n
+        ent = float(-(p * np.log2(p)).sum())
+        assert abs(got.loc[row.doc_id].char_entropy - round(ent, 4)) <= 1e-9
+
+
+def test_char_entropy_flags_planted_extremes(spark):
+    """Planted fixtures: repeated-char spam flags 'low', base64-ish
+    noise flags 'high', the organic corpus is overwhelmingly 'ok'."""
+    import pandas as pd
+
+    from pixcrawler_spark.queries.roundsix import ENT_CAP
+
+    planted = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": [
+                    "spam " * 400,  # ~2.0 bits/char
+                    "".join(  # deterministic base64-ish junk
+                        "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+                        "0123456789+/"[(7 * i) % 64]
+                        for i in range(ENT_CAP)
+                    ),
+                ],
+                "lang": ["en", "en"],
+                "source": ["t", "t"],
+                "n_chars": [2000, ENT_CAP],
+            }
+        )
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        planted.write.parquet(f"{td}/documents.parquet")
+        pdf = (
+            REGISTRY["text_char_entropy"].fn(spark, td).toPandas()
+            .set_index("doc_id")
+        )
+    assert pdf.loc[1].entropy_flag == "low", pdf.loc[1].char_entropy
+    assert pdf.loc[2].entropy_flag == "high", pdf.loc[2].char_entropy
+    corpus = REGISTRY["text_char_entropy"].fn(spark, SF).toPandas()
+    assert (corpus.entropy_flag == "ok").mean() > 0.95
+
+
+def test_char_entropy_map_only(spark):
+    """Scale guard: per-doc entropy is a pure projection — no shuffle
+    exchange anywhere in the plan."""
+    df = REGISTRY["text_char_entropy"].fn(spark, SF01)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in plan.lower(), plan
