@@ -78,6 +78,13 @@ HEADLINE = [
     "crawl_shard_rendezvous",
     "sample_holdout_split",
     "text_char_entropy",
+    # round 5 second batch: template mining, k-core, MG heavy hitters,
+    # median/MAD anomalies, positional phrase search
+    "crawl_url_template_mining",
+    "graph_kcore",
+    "sketch_spacesaving_topk",
+    "crawl_latency_anomaly",
+    "text_phrase_postings",
 ]
 
 

@@ -78,6 +78,11 @@ from pixcrawler_spark.queries import winnow as _winnow  # noqa: F401
 # "register inside the current window or not at all" rule (VERDICT r04
 # item 6); they displace three r03-green refreshers from the tail.
 from pixcrawler_spark.queries import roundsix as _roundsix  # noqa: F401
+# roundseven: URL template mining, k-core peeling, MG-pruned exact
+# heavy hitters, median/MAD latency anomaly, positional phrase search
+# — NEW in r05, registered inside the window per the same rule; they
+# displace five more r03-green refreshers from the tail.
+from pixcrawler_spark.queries import roundseven as _roundseven  # noqa: F401
 
 # ---------------------------------------------------------------------------
 # r05 window (explicit). The driver's correctness harness evaluates the
@@ -128,6 +133,14 @@ _R05_WINDOW = [
     "crawl_shard_rendezvous",
     "sample_holdout_split",
     "text_char_entropy",
+    # priority 3 (cont.): roundseven's five, displacing five more
+    # r03-green refreshers (ann_recall_at_k / text_stats /
+    # text_lang_confusion / text_token_bpe / crawl_fetch_decision)
+    "crawl_url_template_mining",
+    "graph_kcore",
+    "sketch_spacesaving_topk",
+    "crawl_latency_anomaly",
+    "text_phrase_postings",
     # priority 4: r03-green refreshers (rowless since r03)
     "media_resize_reencode",
     "media_dup_decision",
@@ -147,12 +160,7 @@ _R05_WINDOW = [
     "ann_srp_lsh_topk",
     "ann_srp_multiprobe_topk",
     "ann_ivf_topk",
-    "ann_recall_at_k",
-    "text_stats",
-    "text_lang_confusion",
-    "text_token_bpe",
     "text_repetition_quality",
-    "crawl_fetch_decision",
     "crawl_politeness_admission",
     "crawl_priority_order",
     "crawl_serp_seeding",
