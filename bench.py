@@ -85,6 +85,12 @@ HEADLINE = [
     "sketch_spacesaving_topk",
     "crawl_latency_anomaly",
     "text_phrase_postings",
+    # round 5 third batch: bootstrap CI, range join, readability,
+    # mojibake
+    "stats_poisson_bootstrap",
+    "crawl_ip_range_join",
+    "text_readability_score",
+    "text_mojibake_detect",
 ]
 
 

@@ -83,6 +83,10 @@ from pixcrawler_spark.queries import roundsix as _roundsix  # noqa: F401
 # — NEW in r05, registered inside the window per the same rule; they
 # displace five more r03-green refreshers from the tail.
 from pixcrawler_spark.queries import roundseven as _roundseven  # noqa: F401
+# roundeight: Poisson-bootstrap CIs, bucketed IP-range join,
+# readability scoring, mojibake detection — NEW in r05, registered
+# inside the window; they displace four more r03-green refreshers.
+from pixcrawler_spark.queries import roundeight as _roundeight  # noqa: F401
 
 # ---------------------------------------------------------------------------
 # r05 window (explicit). The driver's correctness harness evaluates the
@@ -141,6 +145,13 @@ _R05_WINDOW = [
     "sketch_spacesaving_topk",
     "crawl_latency_anomaly",
     "text_phrase_postings",
+    # priority 3 (cont.): roundeight's four, displacing four more
+    # r03-green refreshers (ann_srp_multiprobe_topk / ann_ivf_topk /
+    # dedup_embedding_cosine_pairs / dedup_embedding_srp_pairs)
+    "stats_poisson_bootstrap",
+    "crawl_ip_range_join",
+    "text_readability_score",
+    "text_mojibake_detect",
     # priority 4: r03-green refreshers (rowless since r03)
     "media_resize_reencode",
     "media_dup_decision",
@@ -154,12 +165,8 @@ _R05_WINDOW = [
     "dedup_minhash_lsh_pairs",
     "dedup_minhash_verified_pairs",
     "dedup_ngram_jaccard_pairs",
-    "dedup_embedding_cosine_pairs",
-    "dedup_embedding_srp_pairs",
     "ann_cosine_topk",
     "ann_srp_lsh_topk",
-    "ann_srp_multiprobe_topk",
-    "ann_ivf_topk",
     "text_repetition_quality",
     "crawl_politeness_admission",
     "crawl_priority_order",
