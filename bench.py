@@ -91,6 +91,7 @@ HEADLINE = [
     "crawl_ip_range_join",
     "text_readability_score",
     "text_mojibake_detect",
+    "text_bm25_topk",
 ]
 
 

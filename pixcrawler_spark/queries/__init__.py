@@ -87,6 +87,10 @@ from pixcrawler_spark.queries import roundseven as _roundseven  # noqa: F401
 # readability scoring, mojibake detection — NEW in r05, registered
 # inside the window; they displace four more r03-green refreshers.
 from pixcrawler_spark.queries import roundeight as _roundeight  # noqa: F401
+# retrieval: BM25 ranked retrieval — NEW in r05, in-window; displaces
+# one more r03-green refresher (dedup_perceptual_ahash_png; base +
+# jpeg variants stay windowed).
+from pixcrawler_spark.queries import retrieval as _retrieval  # noqa: F401
 
 # ---------------------------------------------------------------------------
 # r05 window (explicit). The driver's correctness harness evaluates the
@@ -152,11 +156,11 @@ _R05_WINDOW = [
     "crawl_ip_range_join",
     "text_readability_score",
     "text_mojibake_detect",
+    "text_bm25_topk",
     # priority 4: r03-green refreshers (rowless since r03)
     "media_resize_reencode",
     "media_dup_decision",
     "dedup_perceptual_ahash",
-    "dedup_perceptual_ahash_png",
     "dedup_perceptual_ahash_jpeg",
     "dedup_exact",
     "dedup_simhash",

@@ -184,6 +184,44 @@ def windowed_value_histogram(
     )
 
 
+def sessionized_domain_metrics(
+    pages: DataFrame, watermark: str = "1 hour", gap: str = "30 minutes"
+) -> DataFrame:
+    """Per-domain SESSION windows over page arrivals: a session is a
+    burst of fetches from one domain separated by less than ``gap``
+    (crawl bursts, recrawl sweeps, hotlink storms) — the dynamic-width
+    counterpart to the fixed tumbling windows above.
+
+    Structured Streaming's ``session_window`` merges per-key state as
+    events arrive (start = first event, end = last event + gap) and
+    the watermark bounds that state, so sessions close and emit
+    exactly once per key; state size is O(open sessions), never
+    O(events). The batch parity test recomputes sessions with a
+    DIFFERENT algorithm (lag + gap-split + cumulative session ids),
+    so agreement certifies the semantics, not a shared code path.
+    """
+    return (
+        pages.withWatermark("warc_ts", watermark)
+        .groupBy(
+            F.session_window("warc_ts", gap).alias("w"),
+            domain_expr("url").alias("domain"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.min("warc_ts").alias("first_ts"),
+            F.max("warc_ts").alias("last_ts"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "domain",
+            "n_pages",
+            "first_ts",
+            "last_ts",
+        )
+    )
+
+
 def stream_unseen_urls(pages: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming URL-seen set: stateful ``dropDuplicates`` on url with
     a watermark bound on state (the streaming analog of the batch

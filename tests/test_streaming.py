@@ -334,3 +334,67 @@ def test_windowed_histogram_matches_batch_and_bounds_quantiles(
     assert est.keys() == exact.keys() and len(est) > 0
     for k, e in est.items():
         assert exact[k] <= e <= exact[k] + sk.HIST_W, (k, e, exact[k])
+
+
+def test_sessionized_domains_match_batch_lag_algorithm(
+    spark, pages_stream_dir
+):
+    """Streaming session windows == a batch lag+gap-split+cumsum
+    sessionization (a DIFFERENT algorithm) over the same pages:
+    same (domain, first_ts, last_ts, n_pages) session set, and
+    session_end = last event + gap."""
+    from pyspark.sql import Window
+
+    from pixcrawler_spark.operators.politeness import domain_expr
+    from pixcrawler_spark.streaming.ingest import (
+        sessionized_domain_metrics,
+        stream_pages,
+    )
+
+    gap_s = 7200
+    src = stream_pages(spark, pages_stream_dir)
+    q = (
+        sessionized_domain_metrics(src, watermark="1 hour", gap="2 hours")
+        .writeStream.format("memory")
+        .queryName("sess")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = spark.sql("SELECT * FROM sess").toPandas()
+    assert (
+        (streamed["session_end"] - streamed["last_ts"]).dt.total_seconds()
+        == gap_s
+    ).all()
+    assert (streamed["session_start"] == streamed["first_ts"]).all()
+
+    w = Window.partitionBy("domain").orderBy("warc_ts")
+    batch = (
+        spark.read.parquet(pages_stream_dir)
+        .select(domain_expr("url").alias("domain"), "warc_ts")
+        .withColumn("prev", F.lag("warc_ts").over(w))
+        .withColumn(
+            "new_sess",
+            F.when(
+                F.col("prev").isNull()
+                | (
+                    F.col("warc_ts")
+                    >= F.col("prev") + F.expr(f"INTERVAL {gap_s} SECONDS")
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("sid", F.sum("new_sess").over(w))
+        .groupBy("domain", "sid")
+        .agg(
+            F.min("warc_ts").alias("first_ts"),
+            F.max("warc_ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("n_pages"),
+        )
+        .toPandas()
+    )
+    key = ["domain", "first_ts", "last_ts", "n_pages"]
+    got = streamed[key].sort_values(key, ignore_index=True)
+    want = batch[key].sort_values(key, ignore_index=True)
+    assert got.equals(want), (len(got), len(want))
