@@ -92,6 +92,10 @@ HEADLINE = [
     "text_readability_score",
     "text_mojibake_detect",
     "text_bm25_topk",
+    # round 5: lakehouse layout batch
+    "store_zorder_keys",
+    "store_zonemap_pruning",
+    "profile_table_stats",
 ]
 
 

@@ -91,6 +91,9 @@ from pixcrawler_spark.queries import roundeight as _roundeight  # noqa: F401
 # one more r03-green refresher (dedup_perceptual_ahash_png; base +
 # jpeg variants stay windowed).
 from pixcrawler_spark.queries import retrieval as _retrieval  # noqa: F401
+# lakehouse: Z-order keys, zone-map pruning audit, table profiling —
+# NEW in r05, in-window; displace three more r03-green refreshers.
+from pixcrawler_spark.queries import lakehouse as _lakehouse  # noqa: F401
 
 # ---------------------------------------------------------------------------
 # r05 window (explicit). The driver's correctness harness evaluates the
@@ -157,17 +160,17 @@ _R05_WINDOW = [
     "text_readability_score",
     "text_mojibake_detect",
     "text_bm25_topk",
+    "store_zorder_keys",
+    "store_zonemap_pruning",
+    "profile_table_stats",
     # priority 4: r03-green refreshers (rowless since r03)
-    "media_resize_reencode",
     "media_dup_decision",
     "dedup_perceptual_ahash",
     "dedup_perceptual_ahash_jpeg",
     "dedup_exact",
-    "dedup_simhash",
     "dedup_simhash_hamming",
     "dedup_minhash_signatures",
     "dedup_minhash_lsh_pairs",
-    "dedup_minhash_verified_pairs",
     "dedup_ngram_jaccard_pairs",
     "ann_cosine_topk",
     "ann_srp_lsh_topk",
