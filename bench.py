@@ -96,6 +96,9 @@ HEADLINE = [
     "store_zorder_keys",
     "store_zonemap_pruning",
     "profile_table_stats",
+    # round 5: sampling + vocabulary hygiene
+    "sample_neyman_allocation",
+    "dedup_keyword_typos",
 ]
 
 

@@ -94,6 +94,9 @@ from pixcrawler_spark.queries import retrieval as _retrieval  # noqa: F401
 # lakehouse: Z-order keys, zone-map pruning audit, table profiling —
 # NEW in r05, in-window; displace three more r03-green refreshers.
 from pixcrawler_spark.queries import lakehouse as _lakehouse  # noqa: F401
+# roundnine: Neyman stratified sampling, keyword typo dedup — NEW in
+# r05, in-window; displace two more r03-green refreshers.
+from pixcrawler_spark.queries import roundnine as _roundnine  # noqa: F401
 
 # ---------------------------------------------------------------------------
 # r05 window (explicit). The driver's correctness harness evaluates the
@@ -163,17 +166,17 @@ _R05_WINDOW = [
     "store_zorder_keys",
     "store_zonemap_pruning",
     "profile_table_stats",
+    "sample_neyman_allocation",
+    "dedup_keyword_typos",
     # priority 4: r03-green refreshers (rowless since r03)
     "media_dup_decision",
     "dedup_perceptual_ahash",
     "dedup_perceptual_ahash_jpeg",
     "dedup_exact",
     "dedup_simhash_hamming",
-    "dedup_minhash_signatures",
     "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard_pairs",
     "ann_cosine_topk",
-    "ann_srp_lsh_topk",
     "text_repetition_quality",
     "crawl_politeness_admission",
     "crawl_priority_order",
