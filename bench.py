@@ -99,6 +99,11 @@ HEADLINE = [
     # round 5: sampling + vocabulary hygiene
     "sample_neyman_allocation",
     "dedup_keyword_typos",
+    # round 5: crawl-ops statistics + revisit policy
+    "stats_gini_concentration",
+    "stats_ks_drift",
+    "crawl_conditional_get",
+    "dedup_cluster_canonical",
 ]
 
 

@@ -97,6 +97,10 @@ from pixcrawler_spark.queries import lakehouse as _lakehouse  # noqa: F401
 # roundnine: Neyman stratified sampling, keyword typo dedup — NEW in
 # r05, in-window; displace two more r03-green refreshers.
 from pixcrawler_spark.queries import roundnine as _roundnine  # noqa: F401
+# roundten: Gini crawl concentration, KS drift, conditional-GET
+# revisit planning, duplicate-cluster canonical election — NEW in
+# r05, in-window; displace four more r03-green refreshers.
+from pixcrawler_spark.queries import roundten as _roundten  # noqa: F401
 
 # ---------------------------------------------------------------------------
 # r05 window (explicit). The driver's correctness harness evaluates the
@@ -168,16 +172,21 @@ _R05_WINDOW = [
     "profile_table_stats",
     "sample_neyman_allocation",
     "dedup_keyword_typos",
+    # priority 3 (cont.): roundten's four, displacing four more
+    # r03-green refreshers (dedup_perceptual_ahash_jpeg /
+    # dedup_simhash_hamming / dedup_ngram_jaccard_pairs /
+    # text_repetition_quality — each family keeps at least one
+    # in-window representative)
+    "stats_gini_concentration",
+    "stats_ks_drift",
+    "crawl_conditional_get",
+    "dedup_cluster_canonical",
     # priority 4: r03-green refreshers (rowless since r03)
     "media_dup_decision",
     "dedup_perceptual_ahash",
-    "dedup_perceptual_ahash_jpeg",
     "dedup_exact",
-    "dedup_simhash_hamming",
     "dedup_minhash_lsh_pairs",
-    "dedup_ngram_jaccard_pairs",
     "ann_cosine_topk",
-    "text_repetition_quality",
     "crawl_politeness_admission",
     "crawl_priority_order",
     "crawl_serp_seeding",
