@@ -104,6 +104,11 @@ HEADLINE = [
     "stats_ks_drift",
     "crawl_conditional_get",
     "dedup_cluster_canonical",
+    # round 5: containment / co-citation / forecasting / changepoint
+    "dedup_containment_bottomk",
+    "graph_cocitation_similarity",
+    "crawl_hostload_ewma",
+    "stats_cusum_changepoint",
 ]
 
 

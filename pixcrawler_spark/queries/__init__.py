@@ -101,6 +101,10 @@ from pixcrawler_spark.queries import roundnine as _roundnine  # noqa: F401
 # revisit planning, duplicate-cluster canonical election — NEW in
 # r05, in-window; displace four more r03-green refreshers.
 from pixcrawler_spark.queries import roundten as _roundten  # noqa: F401
+# roundeleven: bottom-k containment dedup, co-citation similarity,
+# EWMA host-load forecast, CUSUM changepoint — NEW in r05, in-window;
+# displace four more r03-green refreshers.
+from pixcrawler_spark.queries import roundeleven as _roundeleven  # noqa: F401,E501
 
 # ---------------------------------------------------------------------------
 # r05 window (explicit). The driver's correctness harness evaluates the
@@ -181,13 +185,18 @@ _R05_WINDOW = [
     "stats_ks_drift",
     "crawl_conditional_get",
     "dedup_cluster_canonical",
+    # priority 3 (cont.): roundeleven's four, displacing four more
+    # r03-green refreshers (media_dup_decision / dedup_exact /
+    # ann_cosine_topk / crawl_politeness_admission — ahash + minhash
+    # keep in-window representatives; politeness has the streaming
+    # parity pytest every run)
+    "dedup_containment_bottomk",
+    "graph_cocitation_similarity",
+    "crawl_hostload_ewma",
+    "stats_cusum_changepoint",
     # priority 4: r03-green refreshers (rowless since r03)
-    "media_dup_decision",
     "dedup_perceptual_ahash",
-    "dedup_exact",
     "dedup_minhash_lsh_pairs",
-    "ann_cosine_topk",
-    "crawl_politeness_admission",
     "crawl_priority_order",
     "crawl_serp_seeding",
     "crawl_seen_anti_join",
