@@ -109,6 +109,11 @@ HEADLINE = [
     "graph_cocitation_similarity",
     "crawl_hostload_ewma",
     "stats_cusum_changepoint",
+    # round 5: fairness / zipf gate / compaction / frontier sizing
+    "crawl_fairness_jains",
+    "text_zipf_fit",
+    "store_compaction_plan",
+    "stats_capture_recapture",
 ]
 
 

@@ -105,6 +105,11 @@ from pixcrawler_spark.queries import roundten as _roundten  # noqa: F401
 # EWMA host-load forecast, CUSUM changepoint — NEW in r05, in-window;
 # displace four more r03-green refreshers.
 from pixcrawler_spark.queries import roundeleven as _roundeleven  # noqa: F401,E501
+# roundtwelve: Jain's fairness, Zipf-fit quality gate, compaction
+# planning, capture-recapture sizing — NEW in r05, in-window; displace
+# the last four refresher slots except crawl_seen_anti_join (THE core
+# op keeps its row).
+from pixcrawler_spark.queries import roundtwelve as _roundtwelve  # noqa: F401,E501
 
 # ---------------------------------------------------------------------------
 # r05 window (explicit). The driver's correctness harness evaluates the
@@ -194,11 +199,16 @@ _R05_WINDOW = [
     "graph_cocitation_similarity",
     "crawl_hostload_ewma",
     "stats_cusum_changepoint",
-    # priority 4: r03-green refreshers (rowless since r03)
-    "dedup_perceptual_ahash",
-    "dedup_minhash_lsh_pairs",
-    "crawl_priority_order",
-    "crawl_serp_seeding",
+    # priority 3 (cont.): roundtwelve's four, displacing the last
+    # refreshers except crawl_seen_anti_join (dedup_perceptual_ahash /
+    # dedup_minhash_lsh_pairs / crawl_priority_order /
+    # crawl_serp_seeding — all r03-green, all oracle+ANSI-swept every
+    # pytest run)
+    "crawl_fairness_jains",
+    "text_zipf_fit",
+    "store_compaction_plan",
+    "stats_capture_recapture",
+    # priority 4: r03-green refresher — THE core op keeps a fresh row
     "crawl_seen_anti_join",
 ]
 assert len(_R05_WINDOW) == 50, len(_R05_WINDOW)
