@@ -149,9 +149,10 @@ def crawl_fairness_jains(spark: SparkSession, sf_dir: str) -> DataFrame:
     "1949); templated/machine/gibberish text is flatter — the slope "
     "is a corpus-level quality gate, and the synthetic random-vocab "
     "fixture correctly FAILS it (near-uniform frequencies). The "
-    "corpus-sized work is one uniform-key term count; the rank "
-    "window and OLS run on the top-N term dim (WindowGroupLimit "
-    "rank cut, 500 rows). The gate flag compares the ROUNDED slope "
+    "corpus-sized work is one uniform-key term count; the top-N cut "
+    "is a distributed sort-limit (TakeOrderedAndProject, O(N) heap "
+    "per task) and the rank window + OLS run on the 500-row result. "
+    "The gate flag compares the ROUNDED slope "
     "so a ulp of covariance drift cannot flip it cross-engine.",
 )
 def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -162,14 +163,20 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = tok.groupBy("term").agg(
         F.count(F.lit(1)).cast("bigint").alias("freq")
     )
+    # top-N via distributed sort-limit (TakeOrderedAndProject: O(N)
+    # per-task heap state), NOT a global rank window — a windowed
+    # rn <= N over the full vocabulary does not compile to
+    # WindowGroupLimit when the partition spec is empty, so it would
+    # funnel every term through one partition at corpus scale
+    # (plan-audited in tests/test_plan_audits.py). The rank window
+    # then runs over the <= N-row result only.
+    top = tf.orderBy(F.col("freq").desc(), F.col("term").asc()).limit(
+        ZIPF_TOP_N
+    )
     w = Window.orderBy(F.col("freq").desc(), F.col("term").asc())
-    pts = (
-        tf.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= ZIPF_TOP_N)
-        .select(
-            F.log(F.col("rnk")).alias("lx"),
-            F.log(F.col("freq")).alias("ly"),
-        )
+    pts = top.withColumn("rnk", F.row_number().over(w)).select(
+        F.log(F.col("rnk")).alias("lx"),
+        F.log(F.col("freq")).alias("ly"),
     )
     slope = F.covar_pop("lx", "ly") / F.var_pop("lx")
     return pts.agg(
