@@ -318,3 +318,65 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: per-host EWMA latency (streaming twin of
+# queries/roundeleven.py crawl_hostload_ewma)
+# ---------------------------------------------------------------------------
+# State per host: (ewma, n). Each micro-batch folds its observations in
+# (ts, event_id) order through the textbook recursion
+# ewma <- a*x + (1-a)*ewma, which the batch query computes closed-form
+# — tests/test_streaming_ewma.py asserts the two agree after a
+# multi-restart drain (state survives checkpoint recovery). Bounded
+# state: 2 scalars per host, no timeline retention — the O(1)-state
+# monitor shape every per-key streaming aggregate here follows.
+
+EWMA_OUTPUT_SCHEMA = "domain string, n_obs long, ewma_ms double"
+EWMA_STATE_SCHEMA = "ewma double, n long"
+
+
+def _ewma_fn(alpha: float):
+    import pandas as pd  # local import: executors only
+
+    def fn(key, pdf_iter, state):
+        (domain,) = key
+        if state.exists:
+            ewma, n = state.get
+        else:
+            ewma, n = 0.0, 0
+        chunks = [pdf for pdf in pdf_iter]
+        pdf = pd.concat(chunks) if chunks else pd.DataFrame(
+            columns=["domain", "latency_ms", "ts", "event_id"]
+        )
+        # fold in event order — Arrow chunking must not reorder the
+        # recursion (same concat-before-sort rule as the token bucket)
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for x in pdf["latency_ms"]:
+            ewma = float(x) if n == 0 else alpha * float(x) + (1 - alpha) * ewma
+            n += 1
+        state.update((float(ewma), int(n)))
+        yield pd.DataFrame(
+            [(domain, n, ewma)], columns=["domain", "n_obs", "ewma_ms"]
+        )
+
+    return fn
+
+
+def hostload_ewma_stream(
+    observations: DataFrame, alpha: float = 0.5
+) -> DataFrame:
+    """Streaming per-host EWMA latency: one (domain, n_obs, ewma_ms)
+    row emitted per host per micro-batch; the last row per host is the
+    live forecast. observations: (domain, latency_ms, ts, event_id).
+    No timeout: latency state is 2 scalars per host and a stale host's
+    forecast should persist until new observations arrive."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return observations.groupBy("domain").applyInPandasWithState(
+        _ewma_fn(alpha),
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
