@@ -359,6 +359,25 @@ def scaled_section(spark, sf_dir: str, factor: int) -> dict:
     out["dedup_simhash_decision"] = round(time.monotonic() - t0, 3)
     spark.catalog.clearCache()
 
+    # containment: pair LISTING is O(m^2) per exact clique by
+    # definition (every replica contains every sibling), so the pairs
+    # probe carries the planted ~30% dup mass; the DECISION form
+    # collapses cliques to representatives first — the scale path
+    t0 = time.monotonic()
+    n_cont = dedup.containment_bottomk_pairs(
+        docs, "doc_id", "text", n=3, k=16, max_df=64, threshold=0.5
+    ).count()
+    out["dedup_containment_bottomk"] = round(time.monotonic() - t0, 3)
+    out["containment_pairs"] = n_cont
+    spark.catalog.clearCache()
+
+    t0 = time.monotonic()
+    dedup.containment_dup_decision(
+        docs, "doc_id", "text", n=3, k=16, max_df=64, threshold=0.5
+    ).write.format("noop").mode("overwrite").save()
+    out["containment_decision"] = round(time.monotonic() - t0, 3)
+    spark.catalog.clearCache()
+
     urls, secs = frontier_throughput(spark, sf_dir, factor=factor)
     out["frontier_rows"] = int(urls)
     out["frontier_round"] = round(secs, 3)

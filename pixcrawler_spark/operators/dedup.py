@@ -737,3 +737,154 @@ def simhash_dup_decision(
         "canonical_id",
         (F.col(id_col) != F.col("canonical_id")).alias("is_dup"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment (Broder): bottom-k probe into df-capped sets
+# ---------------------------------------------------------------------------
+def containment_bottomk_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 16,
+    max_df: int = 64,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Asymmetric containment C(A->B) = |S(A) ∩ S(B)| / |S(A)|
+    estimated by probing A's bottom-``k`` shingle-hash sketch against
+    B's full (df-capped) shingle set — Broder's containment, the
+    estimator that catches subset/quote duplicates symmetric Jaccard
+    misses (a doc wholly contained in a 10x-longer one has Jaccard
+    ~0.1 but containment ~1.0).
+
+    Scale shape (the three guards that keep this corpus-safe):
+
+    1. **Bottom-k probe cut** is a WindowGroupLimit (map-side partial
+       top-K by uniform md5 order): <= k probe rows per doc
+       regardless of document size — plan-audited in
+       tests/test_plan_audits.py.
+    2. **df-cap**: shingle-hashes in > ``max_df`` docs (boilerplate)
+       never become join keys; the hot set is tiny by construction so
+       it broadcasts into a left_anti join. Candidate mass is bounded
+       by k * max_df per document — never all-pairs
+       (tests/test_containment_skew.py plants a 30%-shared
+       boilerplate block and pins this).
+    3. The containment denominator is the capped-universe probe count
+       (min(k, |S_capped(A)|)) — probes and denominator come from ONE
+       universe, so the estimate is the containment OF that universe
+       (boilerplate excluded from the measure, same contract as
+       :func:`ngram_jaccard_pairs`).
+
+    Returns (a_id, b_id, n_probe, n_hit, containment) for pairs with
+    containment >= ``threshold``; containment is round(.,6) for
+    cross-engine hash parity, the threshold compares the exact
+    rational.
+    """
+    dsh = (
+        with_shingles(df, id_col, text_col, n)
+        .select(F.col(id_col), F.md5("shingle").alias("h"))
+        .distinct()
+    )
+    hot = (
+        dsh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > max_df)
+        .select("h")
+    )
+    capped = dsh.join(F.broadcast(hot), "h", "left_anti").persist()
+    w = Window.partitionBy(id_col).orderBy("h")
+    probes = (
+        capped.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(F.col(id_col), "h")
+    )
+    np_ = probes.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probe")
+    )
+    hits = (
+        probes.alias("p")
+        .join(
+            capped.alias("t"),
+            (F.col("p.h") == F.col("t.h"))
+            & (F.col(f"p.{id_col}") != F.col(f"t.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"p.{id_col}").alias("a_id"),
+            F.col(f"t.{id_col}").alias("b_id"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+    )
+    cont = F.col("n_hit") * 1.0 / F.col("n_probe")
+    return (
+        hits.join(np_.withColumnRenamed(id_col, "a_id"), "a_id")
+        .where(cont >= threshold)
+        .select(
+            "a_id",
+            "b_id",
+            "n_probe",
+            "n_hit",
+            F.round(cont, 6).alias("containment"),
+        )
+    )
+
+
+def containment_dup_decision(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 16,
+    max_df: int = 64,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Linear-output subset-dup DECISION form of
+    :func:`containment_bottomk_pairs` (same pattern as
+    ``simhash_dup_decision``): per document, is it contained in some
+    other document, and in which canonical one?
+
+    A dup-heavy corpus makes PAIR listing O(m²) per exact clique by
+    definition (every replica contains every sibling), so the decision
+    form first collapses exact-duplicate cliques to one representative
+    (md5(text) groups, min-id rep), runs the bottom-k probe join over
+    REPRESENTATIVES only, picks each representative's best target
+    (containment desc, b_id asc — one max_by aggregate, no pair
+    materialization beyond the capped candidate join), and broadcasts
+    the decision back to clique members through the linear membership
+    join. Clique mass never reaches the probe join; output is exactly
+    one row per input document.
+
+    Returns (id_col, contained_in, is_subset_dup): ``contained_in`` is
+    the canonical containing doc id (null if none); members of a
+    collapsed clique inherit their representative's decision.
+    """
+    sigs = df.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("_sig")
+    ).persist()
+    reps = sigs.groupBy("_sig").agg(F.min(id_col).alias("_rep_id"))
+    rep_docs = df.join(
+        reps.select(F.col("_rep_id").alias(id_col)), id_col, "left_semi"
+    )
+    pairs = containment_bottomk_pairs(
+        rep_docs, id_col, text_col, n=n, k=k, max_df=max_df,
+        threshold=threshold,
+    )
+    best = pairs.groupBy("a_id").agg(
+        F.max_by(
+            "b_id", F.struct(F.col("containment"), -F.col("b_id"))
+        ).alias("contained_in")
+    )
+    # membership + decision joins key on uniform hashes (_sig / rep
+    # id) — plain shuffle joins; reps is corpus-sized (one row per
+    # distinct text) so no broadcast hint here
+    return (
+        sigs.join(reps, "_sig")
+        .join(
+            best.withColumnRenamed("a_id", "_rep_id"), "_rep_id", "left"
+        )
+        .select(
+            F.col(id_col),
+            "contained_in",
+            F.col("contained_in").isNotNull().alias("is_subset_dup"),
+        )
+    )

@@ -133,51 +133,14 @@ CUSUM_H_SD = 5.0  # alarm threshold h = 5 sigma
 )
 def dedup_containment_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    dsh = (
-        dd.with_shingles(d, "doc_id", "text", 3)
-        .select("doc_id", F.md5("shingle").alias("h"))
-        .distinct()
-    )
-    hot = (
-        dsh.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") > CONT_MAX_DF)
-        .select("h")
-    )
-    capped = dsh.join(F.broadcast(hot), "h", "left_anti").persist()
-    w = Window.partitionBy("doc_id").orderBy("h")
-    probes = (
-        capped.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= CONT_K)
-        .select("doc_id", "h")
-    )
-    np_ = probes.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_probe")
-    )
-    hits = (
-        probes.alias("p")
-        .join(
-            capped.alias("t"),
-            (F.col("p.h") == F.col("t.h"))
-            & (F.col("p.doc_id") != F.col("t.doc_id")),
-        )
-        .groupBy(
-            F.col("p.doc_id").alias("a_id"),
-            F.col("t.doc_id").alias("b_id"),
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
-    )
-    cont = F.col("n_hit") * 1.0 / F.col("n_probe")
-    return (
-        hits.join(np_.withColumnRenamed("doc_id", "a_id"), "a_id")
-        .where(cont >= CONT_THRESHOLD)
-        .select(
-            "a_id",
-            "b_id",
-            "n_probe",
-            "n_hit",
-            F.round(cont, 6).alias("containment"),
-        )
+    return dd.containment_bottomk_pairs(
+        d,
+        "doc_id",
+        "text",
+        n=3,
+        k=CONT_K,
+        max_df=CONT_MAX_DF,
+        threshold=CONT_THRESHOLD,
     )
 
 
