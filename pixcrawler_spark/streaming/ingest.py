@@ -380,3 +380,70 @@ def hostload_ewma_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: per-host CUSUM degradation monitor
+# ---------------------------------------------------------------------------
+# The batch query (stats_cusum_changepoint) estimates (mu, sigma) from
+# the series itself — a two-pass design. The streaming monitor is the
+# TRUE sequential form: (target, slack, threshold) are fixed control
+# parameters (from a calibration window or the batch query's output),
+# and state is one scalar per host. tests/test_streaming_ewma.py
+# asserts parity with the textbook recursion across micro-batches.
+
+CUSUM_OUTPUT_SCHEMA = (
+    "domain string, n_obs long, s double, alarmed boolean"
+)
+CUSUM_STATE_SCHEMA = "s double, n long"
+
+
+def _cusum_fn(target: float, slack: float, threshold: float):
+    import pandas as pd  # local import: executors only
+
+    def fn(key, pdf_iter, state):
+        (domain,) = key
+        if state.exists:
+            s, n = state.get
+        else:
+            s, n = 0.0, 0
+        chunks = [pdf for pdf in pdf_iter]
+        pdf = pd.concat(chunks) if chunks else pd.DataFrame(
+            columns=["domain", "latency_ms", "ts", "event_id"]
+        )
+        pdf = pdf.sort_values(["ts", "event_id"])
+        alarmed = False
+        for x in pdf["latency_ms"]:
+            s = max(0.0, s + float(x) - target - slack)
+            alarmed = alarmed or s > threshold
+            n += 1
+        state.update((float(s), int(n)))
+        yield pd.DataFrame(
+            [(domain, n, s, alarmed)],
+            columns=["domain", "n_obs", "s", "alarmed"],
+        )
+
+    return fn
+
+
+def hostload_cusum_stream(
+    observations: DataFrame,
+    target: float,
+    slack: float,
+    threshold: float,
+) -> DataFrame:
+    """Streaming per-host CUSUM: S <- max(0, S + x - target - slack),
+    alarm when S crosses ``threshold`` within a batch. One scalar of
+    state per host; (target, slack, threshold) are fixed control
+    parameters — calibrate them from the batch
+    ``stats_cusum_changepoint`` output or a warm-up window.
+    observations: (domain, latency_ms, ts, event_id)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return observations.groupBy("domain").applyInPandasWithState(
+        _cusum_fn(target, slack, threshold),
+        outputStructType=CUSUM_OUTPUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

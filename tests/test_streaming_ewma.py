@@ -82,3 +82,51 @@ def test_streaming_ewma_matches_batch_closed_form(spark, tmp_path):
     # state genuinely folded across restarts (not recomputed from one
     # batch), so per-host emission counts exceed 1 somewhere
     assert (got.groupby("domain").size() > 1).any()
+
+
+def test_streaming_cusum_matches_recursion(spark, tmp_path):
+    """Per-host streaming CUSUM folded across two restarts equals the
+    textbook max(0, .) recursion over the full ordered series."""
+    from pixcrawler_spark.streaming.ingest import hostload_cusum_stream
+
+    TARGET, SLACK, H = 50.0, 5.0, 200.0
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    obs = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 10).cast("string")).alias(
+            "domain"
+        ),
+        F.col("value").alias("latency_ms"),
+        "ts",
+        F.col("event_id").cast("long").alias("event_id"),
+    )
+    mid = obs.approxQuantile("event_id", [0.5], 0.0)[0]
+    parts = [
+        obs.where(F.col("event_id") <= mid),
+        obs.where(F.col("event_id") > mid),
+    ]
+    src = tmp_path / "cusum_src"
+    out, ckpt = str(tmp_path / "cusum_out"), str(tmp_path / "cusum_ckpt")
+    src.mkdir()
+    for i, part in enumerate(parts):
+        part.coalesce(1).write.parquet(str(src / f"batch_{i}"))
+        stream = spark.readStream.schema(OBS_SCHEMA).parquet(f"{src}/*")
+        run_available_now(
+            hostload_cusum_stream(stream, TARGET, SLACK, H), out, ckpt
+        )
+
+    got = spark.read.parquet(out).toPandas()
+    final = (
+        got.sort_values("n_obs").groupby("domain").tail(1).set_index("domain")
+    )
+    pdf = obs.toPandas().sort_values(["ts", "event_id"])
+    for dom, grp in pdf.groupby("domain"):
+        s, alarmed = 0.0, False
+        for x in grp["latency_ms"]:
+            s = max(0.0, s + x - TARGET - SLACK)
+            alarmed = alarmed or s > H
+        assert final.loc[dom, "n_obs"] == len(grp), dom
+        assert abs(final.loc[dom, "s"] - s) < 1e-6 * max(1.0, s), dom
+        # state carries across batches, so ANY crossing in the full
+        # series is observed by exactly the batch it happens in: the
+        # union of per-batch alarms equals the sequential alarm
+        assert bool(got[got.domain == dom]["alarmed"].any()) == alarmed, dom
