@@ -854,6 +854,11 @@ def containment_dup_decision(
     join. Clique mass never reaches the probe join; output is exactly
     one row per input document.
 
+    Requires a NUMERIC ``id_col``: the best-target tiebreak negates
+    b_id inside the max_by ordering struct (containment desc, b_id
+    asc). String ids need a keyed surrogate first (hash ids are the
+    frontier's normal form anyway).
+
     Returns (id_col, contained_in, is_subset_dup): ``contained_in`` is
     the canonical containing doc id (null if none); members of a
     collapsed clique inherit their representative's decision.
