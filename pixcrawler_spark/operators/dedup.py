@@ -24,6 +24,8 @@ real MinHash, just with a portable hash family.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import Window
 from pyspark.sql import functions as F
@@ -750,6 +752,7 @@ def containment_bottomk_pairs(
     k: int = 16,
     max_df: int = 64,
     threshold: float = 0.5,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """Asymmetric containment C(A->B) = |S(A) ∩ S(B)| / |S(A)|
     estimated by probing A's bottom-``k`` shingle-hash sketch against
@@ -781,6 +784,14 @@ def containment_bottomk_pairs(
     cross-engine hash parity, the threshold compares the exact
     rational.
     """
+    if max_df_frac is not None:
+        # corpus-relative cap: an ABSOLUTE max_df silently tightens as
+        # the corpus (or its replication) grows — every common shingle's
+        # df scales with |docs|, so the boilerplate FRACTION is the
+        # scale-stable knob (measured: the factor-30 bench probe lost
+        # half its true pairs to the absolute default). One bounded
+        # count() job resolves the cap before the plan is built.
+        max_df = max(max_df, int(math.ceil(max_df_frac * df.count())))
     dsh = (
         with_shingles(df, id_col, text_col, n)
         .select(F.col(id_col), F.md5("shingle").alias("h"))

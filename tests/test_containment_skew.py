@@ -193,3 +193,39 @@ def test_decision_form_linear_on_dup_heavy_corpus(spark):
     # unique texts: nobody is a subset dup; every clique member got
     # its row through the membership join (not the probe join)
     assert not out["is_subset_dup"].any()
+
+
+def test_fractional_df_cap_survives_replication(spark):
+    """An ABSOLUTE max_df silently tightens as replication inflates
+    every shingle's df (the factor-30 bench finding); the
+    corpus-relative max_df_frac keeps planted subset-dups findable."""
+    # 40 base docs, each replicated 12x -> every shingle's df >= 12
+    rows = []
+    for i in range(40):
+        t = _unique_text("f", i, 30)
+        for r in range(12):
+            rows.append((i * 100 + r, t))
+    # one planted subset pair, also replicated 12x: its shingles'
+    # df = 24 > absolute cap 8, but << frac cap 0.2 * 504
+    short = _unique_text("g", 0, 12)
+    long = short + " " + _unique_text("h", 0, 30)
+    for r in range(12):
+        rows.append((9000 + r, short))
+        rows.append((9500 + r, long))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    absolute = dd.containment_bottomk_pairs(
+        df, "doc_id", "text", n=3, k=K, max_df=8, threshold=0.5
+    ).count()
+    fractional = dd.containment_bottomk_pairs(
+        df, "doc_id", "text", n=3, k=K, max_df=8, threshold=0.5,
+        max_df_frac=0.2,
+    ).toPandas()
+    # the absolute cap killed everything; the fractional cap finds the
+    # planted subset pair (every short replica contained in every long)
+    assert absolute == 0
+    got = {(r.a_id, r.b_id) for r in fractional.itertuples()}
+    assert (9000, 9500) in got or any(
+        a in range(9000, 9012) and b in range(9500, 9512)
+        for a, b in got
+    )
