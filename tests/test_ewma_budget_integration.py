@@ -8,7 +8,6 @@ through the real engine API (CrawlEngine accepts a robots DataFrame)."""
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -24,13 +23,6 @@ from pixcrawler_spark.sources.tables import TableStore
 ROWS = 2000
 SEED = 42
 ROUND_MS = 2000.0  # matches round_len_s=2.0
-
-
-@pytest.fixture(scope="module")
-def fixture_dir(tmp_path_factory):
-    d = tmp_path_factory.mktemp("ewmafix")
-    write_fixtures(str(d), rows=ROWS, seed=SEED)
-    return str(d)
 
 
 def _forecast(spark, robots):
@@ -71,8 +63,6 @@ def _forecast(spark, robots):
 
 
 def test_round_respects_ewma_budget(spark, tmp_path):
-    fx = None
-    # module fixture via request is overkill; write locally
     d = tmp_path / "fix"
     write_fixtures(str(d), rows=ROWS, seed=SEED)
     fx = str(d)
