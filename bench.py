@@ -363,6 +363,21 @@ def scaled_section(spark, sf_dir: str, factor: int) -> dict:
     # definition (every replica contains every sibling), so the pairs
     # probe carries the planted ~30% dup mass; the DECISION form
     # collapses cliques to representatives first — the scale path
+    # connected components over the LSH candidate pairs — the
+    # iterative min-label propagation at dup-heavy scale (regression
+    # guard for the bounded-lineage fix: per-round persist, no
+    # exponential plan growth)
+    from pixcrawler_spark.operators.trainprep import connected_components
+
+    t0 = time.monotonic()
+    sigs2 = dedup.minhash_signatures(docs, "doc_id", "text")
+    pairs2 = dedup.lsh_candidate_pairs(sigs2, "doc_id")
+    cc = connected_components(pairs2, "id_a", "id_b", iters=3)
+    n_components = cc.select("comp").distinct().count()
+    out["dedup_connected_components"] = round(time.monotonic() - t0, 3)
+    out["cc_components"] = n_components
+    spark.catalog.clearCache()
+
     t0 = time.monotonic()
     n_cont = dedup.containment_bottomk_pairs(
         docs, "doc_id", "text", n=3, k=16, max_df=64, threshold=0.5
