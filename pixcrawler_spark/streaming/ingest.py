@@ -447,3 +447,77 @@ def hostload_cusum_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: per-host PID budget controller
+# ---------------------------------------------------------------------------
+# Completes the streaming scheduler trio: EWMA (filter) -> CUSUM
+# (detect) -> PID (control). State per host: (integral, prev_error) —
+# the O(1) state the batch operator (operators/control.py) documents
+# for incremental deployment. Emits the post-batch budget per host.
+
+PID_OUTPUT_SCHEMA = (
+    "domain string, n_obs long, error double, integral double, "
+    "budget int"
+)
+PID_STATE_SCHEMA = "integral double, prev_e double, n long"
+
+
+def _pid_fn(target, base, kp, ki, kd, lo, hi):
+    import pandas as pd  # local import: executors only
+
+    def fn(key, pdf_iter, state):
+        (domain,) = key
+        if state.exists:
+            integral, prev_e, n = state.get
+        else:
+            integral, prev_e, n = 0.0, None, 0
+        chunks = [pdf for pdf in pdf_iter]
+        pdf = pd.concat(chunks) if chunks else pd.DataFrame(
+            columns=["domain", "latency_ms", "ts", "event_id"]
+        )
+        pdf = pdf.sort_values(["ts", "event_id"])
+        e, budget = prev_e if prev_e is not None else 0.0, int(base)
+        for x in pdf["latency_ms"]:
+            e = target - float(x)
+            integral += e
+            d = 0.0 if prev_e is None else e - prev_e
+            prev_e = e
+            raw = base + kp * e + ki * integral + kd * d
+            budget = int(min(hi, max(lo, raw)) // 1)
+            n += 1
+        state.update(
+            (float(integral), float(prev_e if prev_e is not None else 0.0),
+             int(n))
+        )
+        yield pd.DataFrame(
+            [(domain, n, e, integral, budget)],
+            columns=["domain", "n_obs", "error", "integral", "budget"],
+        )
+
+    return fn
+
+
+def hostload_pid_stream(
+    observations: DataFrame,
+    target: float = 200.0,
+    base: float = 10.0,
+    kp: float = 0.02,
+    ki: float = 0.005,
+    kd: float = 0.01,
+    lo: float = 1.0,
+    hi: float = 100.0,
+) -> DataFrame:
+    """Streaming per-host PID: the last emitted budget per host is the
+    next round's fetch allowance. observations: (domain, latency_ms,
+    ts, event_id)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return observations.groupBy("domain").applyInPandasWithState(
+        _pid_fn(target, base, kp, ki, kd, lo, hi),
+        outputStructType=PID_OUTPUT_SCHEMA,
+        stateStructType=PID_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -70,3 +70,65 @@ def test_pid_control_properties(spark):
     # slow host drains to the floor and stays there
     assert b.iloc[-1] == int(LO)
     assert (b.diff().dropna() <= 0).all()
+
+
+def test_streaming_pid_matches_batch_tail(spark, tmp_path):
+    """The stateful streaming PID folded across two availableNow
+    drains (shared checkpoint -> one query restart) ends at the same
+    (integral, budget) as the batch operator's last row per host."""
+    from pyspark.sql import Window, functions as F
+
+    from pixcrawler_spark.streaming.ingest import (
+        hostload_pid_stream,
+        run_available_now,
+    )
+
+    df = spark.createDataFrame(
+        _rows(), "domain string, round int, latency_ms double"
+    )
+    batch_tail = {
+        r["host"]: (round(r["integral"], 6), r["budget"])
+        for r in pid_budget(
+            df, target=TARGET, base=BASE, kp=KP, ki=KI, kd=KD,
+            lo=LO, hi=HI,
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("host").orderBy(F.col("t").desc())
+            ),
+        )
+        .where("_rn = 1")
+        .collect()
+    }
+
+    obs = df.select(
+        "domain",
+        "latency_ms",
+        F.timestamp_seconds(F.col("round") * 60).alias("ts"),
+        F.col("round").cast("long").alias("event_id"),
+    )
+    parts = [obs.where("round <= 10"), obs.where("round > 10")]
+    src = tmp_path / "pid_src"
+    out, ckpt = str(tmp_path / "pid_out"), str(tmp_path / "pid_ckpt")
+    src.mkdir()
+    for i, part in enumerate(parts):
+        part.coalesce(1).write.parquet(str(src / f"b{i}"))
+        stream = spark.readStream.schema(
+            "domain string, latency_ms double, ts timestamp, event_id long"
+        ).parquet(f"{src}/*")
+        run_available_now(
+            hostload_pid_stream(
+                stream, target=TARGET, base=BASE, kp=KP, ki=KI,
+                kd=KD, lo=LO, hi=HI,
+            ),
+            out,
+            ckpt,
+        )
+    got = spark.read.parquet(out).toPandas()
+    final = (
+        got.sort_values("n_obs").groupby("domain").tail(1).set_index("domain")
+    )
+    for h, (want_i, want_b) in batch_tail.items():
+        assert abs(final.loc[h, "integral"] - want_i) < 1e-6, h
+        assert final.loc[h, "budget"] == want_b, h
